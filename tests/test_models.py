@@ -1,0 +1,233 @@
+"""Models layer vs golden: bit-exact u32 equality under shared randomness,
+then end-to-end gate correctness through the public API."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tfhe_tpu as tfhe
+import tfhe_tpu.golden.model as g
+from tfhe_tpu.models import bootstrap as mboot
+from tfhe_tpu.models import ggsw as mggsw
+from tfhe_tpu.models import glwe as mglwe
+from tfhe_tpu.models import keyswitch as mks
+from tfhe_tpu.models import lwe as mlwe
+from tfhe_tpu.models import test_vector as mtv
+from tfhe_tpu.models.keys import make_server_key
+from tfhe_tpu.params import get_params
+
+TEST = get_params("test_insecure")
+
+
+def rnd_u32(rng, shape):
+    return rng.integers(0, 1 << 32, size=shape, dtype=np.uint32)
+
+
+def gaussian_u32(rng, std, shape):
+    return g.f64_to_torus(rng.normal(0.0, std, size=shape))
+
+
+@pytest.fixture(scope="module")
+def shared():
+    """Keys + keygen randomness shared between golden and JAX paths."""
+    rng = np.random.default_rng(2024)
+    p = TEST
+    k, N, n = p.glwe_dimension, p.degree, p.lwe_dimension
+    rows = (k + 1) * p.pbs_decomposer.levels
+    kn = k * N
+    d = dict(
+        lwe_sk=rng.integers(0, 2, size=n, dtype=np.uint32),
+        glwe_sk=rng.integers(0, 2, size=(k, N), dtype=np.uint32),
+        bk_a=rnd_u32(rng, (n, rows, k, N)),
+        bk_e=gaussian_u32(rng, p.glwe_std_dev, (n, rows, N)),
+        ksk_a=rnd_u32(rng, (kn * p.ks_decomposer.levels, n)),
+        ksk_e=gaussian_u32(rng, p.lwe_std_dev, (kn * p.ks_decomposer.levels,)),
+    )
+    bk_g, ksk_g = g.bootstrapping_key_gen(
+        d["lwe_sk"], d["glwe_sk"], p, d["bk_a"], d["bk_e"], d["ksk_a"], d["ksk_e"]
+    )
+    server = make_server_key(
+        p, d["lwe_sk"], d["glwe_sk"], d["bk_a"], d["bk_e"], d["ksk_a"], d["ksk_e"]
+    )
+    return d, bk_g, ksk_g, server, rng
+
+
+class TestBitExactKeys:
+    def test_bootstrapping_key(self, shared):
+        d, bk_g, ksk_g, server, _ = shared
+        assert np.array_equal(np.asarray(server.bk_u32), bk_g)
+
+    def test_key_switching_key(self, shared):
+        d, bk_g, ksk_g, server, _ = shared
+        assert np.array_equal(np.asarray(server.ksk_u32), ksk_g)
+
+
+class TestBitExactCiphertexts:
+    def test_lwe_encrypt(self, shared):
+        d, *_ = shared
+        rng = np.random.default_rng(7)
+        p = TEST
+        a = rnd_u32(rng, (5, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (5,))
+        pt = g.lwe_encode(np.arange(5, dtype=np.uint32) % 4, p)
+        ours = np.asarray(mlwe.encrypt(d["lwe_sk"], pt, a, e))
+        for i in range(5):
+            assert np.array_equal(ours[i], g.encrypt_lwe(d["lwe_sk"], pt[i], a[i], e[i]))
+        # decrypt matches too
+        dec = np.asarray(mlwe.decrypt(d["lwe_sk"], ours))
+        for i in range(5):
+            assert dec[i] == g.decrypt_lwe(d["lwe_sk"], ours[i])
+
+    def test_glwe_encrypt_decrypt(self, shared):
+        d, *_ = shared
+        rng = np.random.default_rng(8)
+        p = TEST
+        gp = p.glwe_params()
+        k, N = p.glwe_dimension, p.degree
+        a = rnd_u32(rng, (k, N))
+        e = gaussian_u32(rng, gp.std_dev, (N,))
+        msg = rng.integers(0, 4, size=N, dtype=np.uint32)
+        pt = g.glwe_encode(msg, gp)
+        sk_t = mglwe.sk_toeplitz(d["glwe_sk"])
+        ours = np.asarray(mglwe.encrypt(sk_t, pt, a, e))
+        want = g.encrypt_glwe(d["glwe_sk"], pt, a, e)
+        assert np.array_equal(ours, want)
+        assert np.array_equal(
+            np.asarray(mglwe.decrypt(sk_t, ours)), g.decrypt_glwe(d["glwe_sk"], want)
+        )
+
+    def test_glwe_monomial_and_decompose(self, shared):
+        d, *_ = shared
+        rng = np.random.default_rng(9)
+        p = TEST
+        ct = rnd_u32(rng, (p.glwe_dimension + 1, p.degree))
+        for exp in (-700, -1, 0, 3, 511, 512, 1023):
+            ours = np.asarray(mglwe.mul_monomial(ct, exp))
+            want = g.glwe_mul_monomial(ct, exp)
+            assert np.array_equal(ours, want), exp
+        dec_ours = np.asarray(mglwe.decompose(ct, p.pbs_decomposer))
+        dec_want = g.digits_to_signed(
+            g.decompose_glwe(ct, p.pbs_decomposer), p.pbs_decomposer
+        )
+        assert np.array_equal(dec_ours, dec_want.astype(np.int8))
+
+
+class TestBitExactOps:
+    def test_external_product(self, shared):
+        d, bk_g, _, server, _ = shared
+        rng = np.random.default_rng(10)
+        p = TEST
+        ct = rnd_u32(rng, (p.glwe_dimension + 1, p.degree))
+        want = g.external_product(bk_g[1], ct, p)
+        for impl in ("conv", "matmul"):
+            ours = np.asarray(
+                mggsw.external_product(server.bk_u32[1], ct[None], p, impl=impl)
+            )[0]
+            assert np.array_equal(ours, want), impl
+
+    def test_cmux(self, shared):
+        d, bk_g, _, server, _ = shared
+        rng = np.random.default_rng(11)
+        p = TEST
+        c0 = rnd_u32(rng, (p.glwe_dimension + 1, p.degree))
+        c1 = rnd_u32(rng, (p.glwe_dimension + 1, p.degree))
+        want = g.cmux(bk_g[2], c0, c1, p)
+        ours = np.asarray(mggsw.cmux(server.bk_u32[2], c0[None], c1[None], p))[0]
+        assert np.array_equal(ours, want)
+
+    def test_key_switch(self, shared):
+        d, _, ksk_g, server, _ = shared
+        rng = np.random.default_rng(12)
+        p = TEST
+        kn = p.glwe_dimension * p.degree
+        ct = rnd_u32(rng, (3, kn + 1))
+        ours = np.asarray(
+            mks.key_switch(ct, kn, p.ks_decomposer, server.ksk_mat)
+        )
+        for i in range(3):
+            want = g.key_switch_lwe(ct[i], kn, p.lwe_dimension, p.ks_decomposer, ksk_g)
+            assert np.array_equal(ours[i], want)
+
+    def test_sample_extract(self, shared):
+        rng = np.random.default_rng(13)
+        p = TEST
+        ct = rnd_u32(rng, (2, p.glwe_dimension + 1, p.degree))
+        ours = np.asarray(mboot.sample_extract0(ct))
+        for i in range(2):
+            want = g.sample_extract(ct[i], p.glwe_params(), 0)
+            assert np.array_equal(ours[i], want)
+
+
+class TestBitExactBootstrap:
+    @pytest.mark.parametrize("impl", ["conv", "matmul"])
+    def test_full_pbs_bit_exact(self, shared, impl):
+        """The keystone test: the entire PBS pipeline produces bit-identical
+        ciphertexts to the golden model."""
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(14)
+        p = TEST
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        for m in range(4):
+            a = rnd_u32(rng, (p.lwe_dimension,))
+            e = gaussian_u32(rng, p.lwe_std_dev, ())
+            ct = g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a, e)
+            want = g.bootstrap(ct, bk_g, ksk_g, tv_clear, p)
+            ours = np.asarray(
+                mboot.pbs(
+                    p, ct[None], server.bk_conv, server.bk_u32, server.ksk_mat,
+                    tv_enc, impl=impl,
+                )
+            )[0]
+            assert np.array_equal(ours, want), (impl, m)
+
+
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def jax_keys(self):
+        return tfhe.keygen(TEST, jax.random.key(123))
+
+    def test_encrypt_decrypt(self, jax_keys):
+        ck, _ = jax_keys
+        msgs = np.array([0, 1, 2, 3, 1, 0], dtype=np.uint32)
+        cts = tfhe.encrypt(ck, msgs, key=5)
+        assert np.array_equal(np.asarray(tfhe.decrypt(ck, cts)), msgs)
+
+    @pytest.mark.parametrize("gate", ["and", "or", "xor", "nand", "nor", "xnor"])
+    def test_gate_truth_table(self, jax_keys, gate):
+        ck, sk = jax_keys
+        lhs = np.array([0, 0, 1, 1], dtype=np.uint32)
+        rhs = np.array([0, 1, 0, 1], dtype=np.uint32)
+        c1 = tfhe.encrypt(ck, lhs, key=20)
+        c0 = tfhe.encrypt(ck, rhs, key=21)
+        out = tfhe.gates.gate(sk, gate, c0, c1)
+        got = np.asarray(tfhe.decrypt(ck, out))
+        want = np.array([mtv.GATE_FNS[gate](int(l), int(r)) for l, r in zip(lhs, rhs)])
+        assert np.array_equal(got, want), gate
+
+    def test_not_gate(self, jax_keys):
+        ck, sk = jax_keys
+        bits = np.array([0, 1, 1, 0], dtype=np.uint32)
+        out = tfhe.gates.not_(sk, tfhe.encrypt(ck, bits, key=30))
+        assert np.array_equal(np.asarray(tfhe.decrypt(ck, out)), 1 - bits)
+
+    def test_mux(self, jax_keys):
+        ck, sk = jax_keys
+        sel = np.array([0, 0, 1, 1], dtype=np.uint32)
+        a = np.array([0, 1, 0, 1], dtype=np.uint32)
+        b = np.array([1, 0, 1, 0], dtype=np.uint32)
+        out = tfhe.gates.mux(
+            sk,
+            tfhe.encrypt(ck, sel, key=31),
+            tfhe.encrypt(ck, a, key=32),
+            tfhe.encrypt(ck, b, key=33),
+        )
+        want = np.where(sel == 1, a, b)
+        assert np.array_equal(np.asarray(tfhe.decrypt(ck, out)), want)
+
+    def test_identity_bootstrap(self, jax_keys):
+        ck, sk = jax_keys
+        msgs = np.array([0, 1, 2, 3], dtype=np.uint32)
+        out = tfhe.bootstrap_identity(sk, tfhe.encrypt(ck, msgs, key=40))
+        assert np.array_equal(np.asarray(tfhe.decrypt(ck, out)), msgs)
