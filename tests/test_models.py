@@ -231,3 +231,48 @@ class TestEndToEnd:
         msgs = np.array([0, 1, 2, 3], dtype=np.uint32)
         out = tfhe.bootstrap_identity(sk, tfhe.encrypt(ck, msgs, key=40))
         assert np.array_equal(np.asarray(tfhe.decrypt(ck, out)), msgs)
+
+
+class TestNegativePhaseWrap:
+    """Regression: a negative blind-rotation index must extract the pre-negated
+    top coefficient of the test vector and decode correctly mod 2^log_p
+    (the padding-bit alias; src/test_vector.rs:54-64 + src/lwe.rs:105).
+    This failed for NAND(0,0) with negative input noise before the decode-mask
+    fix -- statistically ~50% of (0,0) gate evaluations."""
+
+    def test_forced_negative_phase(self, shared):
+        d, bk_g, ksk_g, server, _ = shared
+        p = TEST
+        # trivial LWE of value 0 with explicitly negative phase: b = -epsilon
+        eps = np.uint32(1 << 20)  # well within half a block
+        ct = np.zeros((p.lwe_dimension + 1,), dtype=np.uint32)
+        ct[-1] = np.uint32(0) - eps
+        tv = jnp.asarray(mtv.gate_test_vector(p, "nand"))
+        out = np.asarray(
+            mboot.pbs(
+                p, ct[None], server.bk_conv, server.bk_u32, server.ksk_mat, tv,
+            )
+        )[0]
+        from tfhe_tpu.ops.torus import decode as t_decode
+
+        got = int(t_decode(g.decrypt_lwe(d["lwe_sk"], out), p.log_q, p.log_p, p.padding_bits))
+        assert got == 1  # NAND(0,0) = 1 even with negative phase
+
+    def test_gate_00_both_noise_signs(self, shared):
+        d, bk_g, ksk_g, server, _ = shared
+        p = TEST
+        tv = jnp.asarray(mtv.gate_test_vector(p, "nand"))
+        for eps in (np.uint32(1 << 20), np.uint32(0) - np.uint32(1 << 20)):
+            ct = np.zeros((p.lwe_dimension + 1,), dtype=np.uint32)
+            ct[-1] = eps
+            out = np.asarray(
+                mboot.pbs(
+                    p, ct[None], server.bk_conv, server.bk_u32, server.ksk_mat, tv,
+                )
+            )[0]
+            from tfhe_tpu.ops.torus import decode as t_decode
+
+            got = int(
+                t_decode(g.decrypt_lwe(d["lwe_sk"], out), p.log_q, p.log_p, p.padding_bits)
+            )
+            assert got == 1, eps

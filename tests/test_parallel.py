@@ -1,0 +1,79 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh.
+
+Shard-invariance is the contract: the sharded gate must produce bit-identical
+ciphertexts to single-device execution (int32 partial-accumulator psum is
+exact; SURVEY.md section 4 test plan, item d).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+import tfhe_tpu as tfhe
+from tfhe_tpu.models import test_vector as mtv
+from tfhe_tpu.parallel.mesh import make_mesh
+from tfhe_tpu.parallel.sharded import make_sharded_gate
+from tfhe_tpu.params import get_params
+
+TEST = get_params("test_insecure")
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return tfhe.keygen(TEST, jax.random.key(99))
+
+
+@pytest.fixture(scope="module")
+def cts(keys):
+    ck, _ = keys
+    rng = np.random.default_rng(3)
+    lhs = rng.integers(0, 2, size=8).astype(np.uint32)
+    rhs = rng.integers(0, 2, size=8).astype(np.uint32)
+    return (
+        lhs,
+        rhs,
+        tfhe.encrypt(ck, rhs, key=50),  # ct0
+        tfhe.encrypt(ck, lhs, key=51),  # ct1
+    )
+
+
+@pytest.fixture(scope="module")
+def reference_out(keys, cts):
+    _, sk = keys
+    _, _, ct0, ct1 = cts
+    return np.asarray(tfhe.gates.gate(sk, "nand", ct0, ct1))
+
+
+def test_requires_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_batch_model_sharded_bit_exact(keys, cts, reference_out, shape):
+    ck, sk = keys
+    lhs, rhs, ct0, ct1 = cts
+    mesh = make_mesh(batch=shape[0], model=shape[1])
+    gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="conv")
+    out = np.asarray(gate_fn(ct0, ct1, sk))
+    assert np.array_equal(out, reference_out), shape
+    got = np.asarray(tfhe.decrypt(ck, out))
+    assert np.array_equal(got, 1 - (lhs & rhs))
+
+
+def test_model_sharded_matmul_impl(keys, cts, reference_out):
+    _, sk = keys
+    _, _, ct0, ct1 = cts
+    mesh = make_mesh(batch=4, model=2)
+    gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="matmul")
+    out = np.asarray(gate_fn(ct0, ct1, sk))
+    assert np.array_equal(out, reference_out)
+
+
+def test_model_axis_3way(keys, cts, reference_out):
+    # R=18 and K=5120 are divisible by 2 but a 3-way model axis must be
+    # rejected for K (5120 % 3 != 0)
+    mesh = make_mesh(batch=4, model=2, devices=jax.devices()[:8])
+    # sanity: a model size that does not divide R fails fast
+    bad = TEST.replace(name="bad")
+    with pytest.raises(AssertionError):
+        make_sharded_gate(make_mesh(batch=1, model=8), bad, "nand")

@@ -236,7 +236,11 @@ def lwe_decode(pt, params: LweParams | GlweParams | TfheParams) -> np.ndarray:
     """
     shift = params.log_q - (params.log_p + params.padding_bits)
     half = np.uint32(1 << (shift - 1))
-    mask = np.uint32((1 << (params.log_p + params.padding_bits)) - 1)
+    # mask mod 2^log_p (NOT log_p+padding): the test-vector negate-rotate trick
+    # stores p-v in wrap-prone coefficients so that a negative blind-rotation
+    # index yields -(p-v) == v (mod p) -- the padding-bit alias is legitimate
+    # (the reference's commented-out mask, src/lwe.rs:105, is required)
+    mask = np.uint32((1 << params.log_p) - 1)
     return (((_u(pt) + half) >> np.uint32(shift)) & mask).astype(np.uint32)
 
 
@@ -284,7 +288,11 @@ def glwe_decode(pt: np.ndarray, params: GlweParams) -> np.ndarray:
     """Rounding decode per coefficient (see lwe_decode for the rationale)."""
     shift = params.log_q - (params.log_p + params.padding_bits)
     half = np.uint32(1 << (shift - 1))
-    mask = np.uint32((1 << (params.log_p + params.padding_bits)) - 1)
+    # mask mod 2^log_p (NOT log_p+padding): the test-vector negate-rotate trick
+    # stores p-v in wrap-prone coefficients so that a negative blind-rotation
+    # index yields -(p-v) == v (mod p) -- the padding-bit alias is legitimate
+    # (the reference's commented-out mask, src/lwe.rs:105, is required)
+    mask = np.uint32((1 << params.log_p) - 1)
     return (((_u(pt) + half) >> np.uint32(shift)) & mask).astype(np.uint32)
 
 

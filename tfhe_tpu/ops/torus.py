@@ -37,7 +37,9 @@ def decode(pt, log_q: int, log_p: int, padding_bits: int) -> jnp.ndarray:
     """
     shift = log_q - (log_p + padding_bits)
     half = jnp.uint32(1 << (shift - 1))
-    mask = jnp.uint32((1 << (log_p + padding_bits)) - 1)
+    # mod 2^log_p: negative blind-rotation indices legitimately alias the
+    # padding bit (test-vector negate-rotate trick, src/test_vector.rs:54-64)
+    mask = jnp.uint32((1 << log_p) - 1)
     return (((u32(pt) + half) >> jnp.uint32(shift)) & mask).astype(jnp.uint32)
 
 

@@ -1,0 +1,153 @@
+"""Sharded PBS: batch-parallel + BK-row (model) parallel gate bootstrapping.
+
+Mapping of TFHE onto the mesh (SURVEY.md section 2.2):
+
+  * ciphertext batch  -> ``batch`` axis (pure data parallelism, no collectives);
+  * BK rows R=(k+1)*levels and KSK rows K=kN*l_ks -> ``model`` axis.  Each
+    shard contracts its local key rows against locally-computed digit slices
+    and the *int32 limb accumulators* are ``psum``-reduced before the wrapping
+    u32 recombine — integer addition is associative, so sharded execution is
+    bit-identical to single-device execution (asserted in tests).
+
+Everything is a single ``shard_map``-wrapped jittable function; XLA inserts
+the collectives (psum over ICI) — there is no hand-written transport.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tfhe_tpu.models import glwe as mglwe
+from tfhe_tpu.models import lwe as mlwe
+from tfhe_tpu.models import test_vector as mtv
+from tfhe_tpu.models.keys import ServerKey
+from tfhe_tpu.ops.decomposer import decompose_signed
+from tfhe_tpu.ops.poly import ep_combine, ep_contract_conv, ep_contract_matmul
+from tfhe_tpu.ops.torus import NUM_LIMBS, combine_limb_accs, switch_modulus, u32
+from tfhe_tpu.parallel.mesh import BATCH_AXIS, MODEL_AXIS
+from tfhe_tpu.params import TfheParams
+
+
+def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
+                        impl: str, model_axis: str | None):
+    """Local shard of the CMUX scan; BK arrives row-sharded, digits are sliced
+    to the local rows and partial int32 accumulators are psum'd per step."""
+    k = params.glwe_dimension
+    n_dim = params.lwe_dimension
+    b_hat = approx_ct[..., n_dim].astype(jnp.int32)
+    batch = approx_ct.shape[:-1]
+    acc0 = mglwe.trivial_encrypt(
+        jnp.broadcast_to(u32(tv_encoded), batch + tv_encoded.shape), k
+    )
+    acc0 = mglwe.mul_monomial(acc0, -b_hat)
+    a_hat = jnp.moveaxis(approx_ct[..., :n_dim], -1, 0).astype(jnp.int32)
+
+    local_r = bk_c.shape[-2] if impl == "conv" else bk_m.shape[-3]
+    shard = lax.axis_index(model_axis) if model_axis else 0
+
+    def step(acc, xs):
+        bkc_i, bkm_i, a_i = xs
+        rot = mglwe.mul_monomial(acc, a_i)
+        digits = mglwe.decompose(rot - acc, params.pbs_decomposer)  # [B, R, N]
+        if model_axis:
+            digits = lax.dynamic_slice_in_dim(digits, shard * local_r, local_r, axis=-2)
+        raw = (
+            ep_contract_conv(digits, bkc_i)
+            if impl == "conv"
+            else ep_contract_matmul(digits, bkm_i)
+        )
+        if model_axis:
+            raw = lax.psum(raw, model_axis)
+        return acc + ep_combine(raw, k + 1), None
+
+    xs = (
+        bk_c if impl == "conv" else jnp.zeros((n_dim, 0), jnp.int8),
+        bk_m if impl == "matmul" else jnp.zeros((n_dim, 0), jnp.uint32),
+        a_hat,
+    )
+    acc, _ = lax.scan(step, acc0, xs)
+    return acc
+
+
+def _key_switch_local(params: TfheParams, ct, ksk_mat_local, model_axis):
+    """Key switch with KSK rows sharded over ``model``; psum over partial int32
+    accumulators (src/key_switching.rs:63-103 semantics)."""
+    ks = params.ks_decomposer
+    from_n = params.glwe_dimension * params.degree
+    lead = ct.shape[:-1]
+    digits = decompose_signed(ct[..., :from_n], ks).reshape(lead + (from_n * ks.levels,))
+    local_k = ksk_mat_local.shape[0]
+    if model_axis:
+        shard = lax.axis_index(model_axis)
+        digits = lax.dynamic_slice_in_dim(digits, shard * local_k, local_k, axis=-1)
+    acc = jnp.matmul(digits, ksk_mat_local, preferred_element_type=jnp.int32)
+    if model_axis:
+        acc = lax.psum(acc, model_axis)
+    to_n1 = ksk_mat_local.shape[1] // NUM_LIMBS
+    summ = combine_limb_accs(acc.reshape(lead + (to_n1, NUM_LIMBS)))
+    out = -summ
+    return out.at[..., -1].add(ct[..., from_n])
+
+
+def _gate_local(params, impl, model_axis, tv_encoded, ct0, ct1, bk_c, bk_m, ksk_mat):
+    ct_in = mlwe.add(mlwe.scalar_mul(ct1, 2), ct0)
+    approx = switch_modulus(ct_in, params.log_q, params.log_degree + 1)
+    acc = _blind_rotate_local(params, approx, bk_c, bk_m, tv_encoded, impl, model_axis)
+    from tfhe_tpu.models.bootstrap import sample_extract0
+
+    extracted = sample_extract0(acc)
+    return _key_switch_local(params, extracted, ksk_mat, model_axis)
+
+
+def make_sharded_gate(
+    mesh: Mesh,
+    params: TfheParams,
+    gate: str,
+    impl: str = "conv",
+    use_model_axis: bool | None = None,
+) -> callable:
+    """Build a jitted sharded gate: (ct0, ct1, server_key) -> ct_out.
+
+    Ciphertexts shard over ``batch``; BK/KSK rows shard over ``model`` when the
+    mesh has a model axis > 1 (int32 psum per scan step, bit-identical to
+    unsharded execution).
+    """
+    model_n = mesh.shape[MODEL_AXIS]
+    if use_model_axis is None:
+        use_model_axis = model_n > 1
+    model_axis = MODEL_AXIS if use_model_axis else None
+    tv = jnp.asarray(mtv.gate_test_vector(params, gate))
+
+    rows = (params.glwe_dimension + 1) * params.pbs_decomposer.levels
+    if use_model_axis:
+        assert rows % model_n == 0, (rows, model_n)
+        k_rows = params.glwe_dimension * params.degree * params.ks_decomposer.levels
+        assert k_rows % model_n == 0, (k_rows, model_n)
+
+    bk_c_spec = P(None, None, MODEL_AXIS, None) if use_model_axis else P()
+    bk_m_spec = P(None, MODEL_AXIS, None, None) if use_model_axis else P()
+    ksk_spec = P(MODEL_AXIS, None) if use_model_axis else P()
+
+    f = partial(_gate_local, params, impl, model_axis, tv)
+    sharded = jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), bk_c_spec, bk_m_spec, ksk_spec),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(ct0, ct1, bk_conv, bk_u32, ksk_mat):
+        return sharded(ct0, ct1, bk_conv, bk_u32, ksk_mat)
+
+    def call(ct0, ct1, sk: ServerKey):
+        return run(ct0, ct1, sk.bk_conv, sk.bk_u32, sk.ksk_mat)
+
+    return call
