@@ -34,7 +34,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="default_128")
     ap.add_argument("--batch", type=int, default=0, help="0 = auto-tune")
-    ap.add_argument("--impl", default="auto", choices=["auto", "conv", "matmul"])
+    ap.add_argument("--impl", default="auto", choices=["auto", "conv", "matmul", "pallas"])
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--check", action="store_true", help="verify gate outputs decrypt correctly")
     args = ap.parse_args()

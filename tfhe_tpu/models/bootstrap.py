@@ -23,6 +23,7 @@ from jax import lax
 
 from tfhe_tpu.models import glwe as mglwe
 from tfhe_tpu.models import keyswitch as mks
+from tfhe_tpu.ops.pallas.ep_kernel import ep_contract_pallas
 from tfhe_tpu.ops.poly import ep_combine, ep_contract_conv, ep_contract_matmul
 from tfhe_tpu.ops.torus import switch_modulus, u32
 from tfhe_tpu.params import TfheParams
@@ -75,13 +76,15 @@ def blind_rotate(
         digits = mglwe.decompose(rot - acc, params.pbs_decomposer)  # [B, R, N]
         if impl == "conv":
             raw = ep_contract_conv(digits, bk_c)
+        elif impl == "pallas":
+            raw = ep_contract_pallas(digits, bk_m)
         else:
             raw = ep_contract_matmul(digits, bk_m)
         return acc + ep_combine(raw, k + 1), None
 
     xs = (
         bk_conv_i8 if impl == "conv" else jnp.zeros((n_dim, 0), jnp.int8),
-        bk_u32 if impl == "matmul" else jnp.zeros((n_dim, 0), jnp.uint32),
+        bk_u32 if impl in ("matmul", "pallas") else jnp.zeros((n_dim, 0), jnp.uint32),
         a_hat,
     )
     acc, _ = lax.scan(step, acc0, xs)
