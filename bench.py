@@ -56,9 +56,9 @@ def main():
 
     tv = jnp.asarray(mtv.gate_test_vector(params, "nand"))
 
-    def gate(ct0, ct1, bk_conv, bk_u32, ksk_mat, impl):
+    def gate(ct0, ct1, server_key, impl):
         ct_in = mlwe.add(mlwe.scalar_mul(ct1, 2), ct0)
-        return pbs(params, ct_in, bk_conv, bk_u32, ksk_mat, tv, impl=impl)
+        return pbs(params, ct_in, server_key, tv, impl=impl)
 
     def bench_impl(impl: str, batch: int, iters: int):
         f = jax.jit(partial(gate, impl=impl))
@@ -68,14 +68,15 @@ def main():
         ct1 = jax.block_until_ready(tfhe.encrypt(ck, lhs, key=1))
         ct0 = jax.block_until_ready(tfhe.encrypt(ck, rhs, key=2))
         t0 = time.time()
-        out = jax.block_until_ready(f(ct0, ct1, sk.bk_conv, sk.bk_u32, sk.ksk_mat))
+        out = f(ct0, ct1, sk)
+        _ = float(jnp.sum(out))  # force completion (block_until_ready is
+        # unreliable through the remote tunnel)
         log(f"  [{impl} b={batch}] first call (compile+run): {time.time()-t0:.1f}s")
         times = []
         for _ in range(iters):
             t0 = time.time()
-            out = jax.block_until_ready(
-                f(ct0, ct1, sk.bk_conv, sk.bk_u32, sk.ksk_mat)
-            )
+            out = f(ct0, ct1, sk)
+            _ = float(jnp.sum(out))
             times.append(time.time() - t0)
         best = min(times)
         rate = batch / best
@@ -86,7 +87,7 @@ def main():
             log(f"  [{impl} b={batch}] gate errors: {errs}/{batch}")
         return rate
 
-    impls = ["conv", "matmul"] if args.impl == "auto" else [args.impl]
+    impls = ["pallas", "conv"] if args.impl == "auto" else [args.impl]
     batches = [args.batch] if args.batch else [256, 1024]
     best_rate = 0.0
     for impl in impls:

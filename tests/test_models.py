@@ -175,12 +175,27 @@ class TestBitExactBootstrap:
             ct = g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a, e)
             want = g.bootstrap(ct, bk_g, ksk_g, tv_clear, p)
             ours = np.asarray(
-                mboot.pbs(
-                    p, ct[None], server.bk_conv, server.bk_u32, server.ksk_mat,
-                    tv_enc, impl=impl,
-                )
+                mboot.pbs(p, ct[None], server, tv_enc, impl=impl)
             )[0]
             assert np.array_equal(ours, want), (impl, m)
+
+    def test_full_pbs_bit_exact_pallas_interpret(self, shared):
+        """Pallas backend (interpret mode on CPU) is bit-identical too —
+        covers the level-major digit rows + bk_lm permutation + VMEM-layout
+        kernel against the same golden pipeline."""
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(15)
+        p = TEST
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (p.lwe_dimension,))
+        e = gaussian_u32(rng, p.lwe_std_dev, ())
+        ct = g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(2, p), a, e)
+        want = g.bootstrap(ct, bk_g, ksk_g, tv_clear, p)
+        ours = np.asarray(
+            mboot.pbs(p, ct[None], server, tv_enc, impl="pallas_interpret")
+        )[0]
+        assert np.array_equal(ours, want)
 
 
 class TestEndToEnd:
@@ -248,11 +263,7 @@ class TestNegativePhaseWrap:
         ct = np.zeros((p.lwe_dimension + 1,), dtype=np.uint32)
         ct[-1] = np.uint32(0) - eps
         tv = jnp.asarray(mtv.gate_test_vector(p, "nand"))
-        out = np.asarray(
-            mboot.pbs(
-                p, ct[None], server.bk_conv, server.bk_u32, server.ksk_mat, tv,
-            )
-        )[0]
+        out = np.asarray(mboot.pbs(p, ct[None], server, tv))[0]
         from tfhe_tpu.ops.torus import decode as t_decode
 
         got = int(t_decode(g.decrypt_lwe(d["lwe_sk"], out), p.log_q, p.log_p, p.padding_bits))
@@ -265,11 +276,7 @@ class TestNegativePhaseWrap:
         for eps in (np.uint32(1 << 20), np.uint32(0) - np.uint32(1 << 20)):
             ct = np.zeros((p.lwe_dimension + 1,), dtype=np.uint32)
             ct[-1] = eps
-            out = np.asarray(
-                mboot.pbs(
-                    p, ct[None], server.bk_conv, server.bk_u32, server.ksk_mat, tv,
-                )
-            )[0]
+            out = np.asarray(mboot.pbs(p, ct[None], server, tv))[0]
             from tfhe_tpu.ops.torus import decode as t_decode
 
             got = int(

@@ -56,20 +56,17 @@ def decrypt(ck: ClientKey, cts) -> jnp.ndarray:
 
 
 def _pbs_with_tv(sk: ServerKey, ct_in, tv_encoded, impl: str) -> jnp.ndarray:
-    p = sk.params
-    return mboot.pbs(
-        p, ct_in, sk.bk_conv, sk.bk_u32, sk.ksk_mat, u32(tv_encoded), impl=impl
-    )
+    return mboot.pbs(sk.params, ct_in, sk, u32(tv_encoded), impl=impl)
 
 
-def gate(sk: ServerKey, name: str, ct0, ct1, impl: str = "conv") -> jnp.ndarray:
+def gate(sk: ServerKey, name: str, ct0, ct1, impl: str = "auto") -> jnp.ndarray:
     """Named 2-input gate: ct_in = 2*ct1 + ct0, one PBS (src/boolean.rs:9-53)."""
     tv = jnp.asarray(mtv.gate_test_vector(sk.params, name))
     ct_in = mlwe.add(mlwe.scalar_mul(ct1, 2), ct0)
     return _pbs_with_tv(sk, ct_in, tv, impl)
 
 
-def bootstrap_identity(sk: ServerKey, ct, impl: str = "conv") -> jnp.ndarray:
+def bootstrap_identity(sk: ServerKey, ct, impl: str = "auto") -> jnp.ndarray:
     """Noise-refreshing identity bootstrap (src/bootstrapping.rs tests)."""
     tv = jnp.asarray(mtv.identity_test_vector(sk.params))
     return _pbs_with_tv(sk, ct, tv, impl)
@@ -84,7 +81,7 @@ def not_(sk_or_params, ct) -> jnp.ndarray:
     return trivial - ct
 
 
-def mux(sk: ServerKey, sel, a, b, impl: str = "conv") -> jnp.ndarray:
+def mux(sk: ServerKey, sel, a, b, impl: str = "auto") -> jnp.ndarray:
     """MUX(sel, a, b) = sel ? a : b = OR(AND(sel, a), AND(NOT sel, b)).
 
     Three PBS; the ANDNY gate folds the NOT into its LUT so no extra linear
@@ -96,7 +93,7 @@ def mux(sk: ServerKey, sel, a, b, impl: str = "conv") -> jnp.ndarray:
 
 
 def _named(name):
-    def f(sk: ServerKey, ct0, ct1, impl: str = "conv"):
+    def f(sk: ServerKey, ct0, ct1, impl: str = "auto"):
         return gate(sk, name, ct0, ct1, impl=impl)
 
     f.__name__ = name

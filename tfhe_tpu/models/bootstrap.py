@@ -3,19 +3,28 @@
 Pipeline (src/bootstrapping.rs:58-120):
   1. modulus-switch the LWE ciphertext from q=2^32 to 2N;
   2. acc = trivial-GLWE(v(X)) * X^(-b_hat);
-  3. n-step CMUX loop — here a ``lax.scan`` over the bootstrapping key with the
-     whole ciphertext batch advancing together (per-sample monomial exponents);
+  3. n-step CMUX loop — a ``lax.scan`` over the bootstrapping key with the
+     whole ciphertext batch advancing together (per-sample monomial exponents
+     via the barrel shifter);
   4. sample-extract coefficient 0 -> LWE of dimension k*N;
   5. key-switch back to dimension n.
 
-The scan step fuses CMUX as acc += EP(digits(rot - acc), BK_i): decompose once,
-one int8 MXU contraction, wrapping-u32 recombine.  Throughput comes from the
-batch axis; the loop itself is inherently serial (SURVEY.md section 7.4).
+The scan step fuses CMUX as acc += EP(digits(rot - acc), BK_i): decompose
+once, one exact int8 MXU contraction, wrapping-u32 recombine.  Three
+interchangeable contraction backends (all bit-identical):
+
+  * ``pallas``  — fused Pallas kernel; the Toeplitz operand is built in VMEM
+    by a strided roll (ops/pallas/ep_kernel.py).  Uses the transpose-free
+    [k+1, B, N] accumulator layout with level-major digit rows matched by the
+    row-permuted ``ServerKey.bk_lm``.  Default on TPU.
+  * ``conv``    — one int8 ``conv_general_dilated`` per step.  Default on CPU.
+  * ``matmul``  — explicit XLA Toeplitz expansion (cross-check baseline).
+
+Throughput comes from the batch axis; the loop itself is inherently serial
+(SURVEY.md section 7.4).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,10 +32,24 @@ from jax import lax
 
 from tfhe_tpu.models import glwe as mglwe
 from tfhe_tpu.models import keyswitch as mks
-from tfhe_tpu.ops.pallas.ep_kernel import ep_contract_pallas
-from tfhe_tpu.ops.poly import ep_combine, ep_contract_conv, ep_contract_matmul
+from tfhe_tpu.ops.decomposer import decompose_signed_planes
+from tfhe_tpu.ops.pallas.ep_kernel import ep_contract_pallas_rbn
+from tfhe_tpu.ops.poly import (
+    ep_combine,
+    ep_combine_planes,
+    ep_contract_conv,
+    ep_contract_matmul,
+    monomial_mul,
+)
 from tfhe_tpu.ops.torus import switch_modulus, u32
 from tfhe_tpu.params import TfheParams
+
+
+def resolve_impl(impl: str) -> str:
+    """'auto' -> 'pallas' on TPU, 'conv' elsewhere."""
+    if impl != "auto":
+        return impl
+    return "pallas" if jax.default_backend() == "tpu" else "conv"
 
 
 def sample_extract0(glwe_ct) -> jnp.ndarray:
@@ -44,65 +67,84 @@ def sample_extract0(glwe_ct) -> jnp.ndarray:
     return jnp.concatenate([flat, b], axis=-1)
 
 
-def blind_rotate(
-    params: TfheParams,
-    approx_ct,
-    bk_conv_i8,
-    bk_u32,
-    tv_encoded,
-    impl: str = "conv",
-) -> jnp.ndarray:
-    """n-step CMUX loop (src/bootstrapping.rs:79-105); batched.
-
-    approx_ct: u32[B, n+1] already mod-switched to 2N; tv_encoded: u32[N]
-    (the *encoded* test-vector polynomial, src/bootstrapping.rs:82-86).
-    ``impl`` selects the contraction formulation; the unused key layout may be
-    passed as None.
-    """
+def _init_acc(params: TfheParams, approx_ct, tv_encoded):
+    """acc0 = trivial(v(X)) * X^(-b_hat), batched (src/bootstrapping.rs:79-86)."""
     k = params.glwe_dimension
     n_dim = params.lwe_dimension
-    b_hat = approx_ct[..., n_dim].astype(jnp.int32)  # [B]
+    b_hat = approx_ct[..., n_dim].astype(jnp.int32)
     batch = approx_ct.shape[:-1]
-
     acc_b = jnp.broadcast_to(u32(tv_encoded), batch + tv_encoded.shape)
-    acc0 = mglwe.trivial_encrypt(acc_b, k)  # [B, k+1, N]
+    acc0 = mglwe.trivial_encrypt(acc_b, k)
     acc0 = mglwe.mul_monomial(acc0, -b_hat)
-
     a_hat = jnp.moveaxis(approx_ct[..., :n_dim], -1, 0).astype(jnp.int32)  # [n, B]
+    return acc0, a_hat
+
+
+def _blind_rotate_xla(params, approx_ct, bk, tv_encoded, impl):
+    """conv / matmul backends: acc layout [B, k+1, N]."""
+    k = params.glwe_dimension
+    acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
 
     def step(acc, xs):
-        bk_c, bk_m, a_i = xs
+        bk_i, a_i = xs
         rot = mglwe.mul_monomial(acc, a_i)  # acc * X^{a_i}
         digits = mglwe.decompose(rot - acc, params.pbs_decomposer)  # [B, R, N]
         if impl == "conv":
-            raw = ep_contract_conv(digits, bk_c)
-        elif impl == "pallas":
-            raw = ep_contract_pallas(digits, bk_m)
+            raw = ep_contract_conv(digits, bk_i)
         else:
-            raw = ep_contract_matmul(digits, bk_m)
+            raw = ep_contract_matmul(digits, bk_i)
         return acc + ep_combine(raw, k + 1), None
 
-    xs = (
-        bk_conv_i8 if impl == "conv" else jnp.zeros((n_dim, 0), jnp.int8),
-        bk_u32 if impl in ("matmul", "pallas") else jnp.zeros((n_dim, 0), jnp.uint32),
-        a_hat,
-    )
-    acc, _ = lax.scan(step, acc0, xs)
+    acc, _ = lax.scan(step, acc0, (bk, a_hat))
     return acc
 
 
-def pbs(
-    params: TfheParams,
-    ct,
-    bk_conv_i8,
-    bk_u32,
-    ksk_mat_i8,
-    tv_encoded,
-    impl: str = "conv",
-) -> jnp.ndarray:
-    """Full programmable bootstrap (src/bootstrapping.rs:58-120); batched."""
+def _blind_rotate_pallas(params, approx_ct, bk_lm, tv_encoded, interpret=False):
+    """Pallas backend: transpose-free [k+1, B, N] accumulator, level-major
+    digit rows r' = level*(k+1)+poly matching the permuted key ``bk_lm``."""
+    k1 = params.glwe_dimension + 1
+    levels = params.pbs_decomposer.levels
+    acc0_bkn, a_hat = _init_acc(params, approx_ct, tv_encoded)
+    acc0 = jnp.swapaxes(acc0_bkn, 0, 1)  # [k+1, B, N]
+
+    def step(acc, xs):
+        bk_i, a_i = xs  # bk_i u32[R(level-major), k+1, N]; a_i int32[B]
+        rot = monomial_mul(acc, a_i[None, :])  # exp broadcast over k+1 rows
+        digits = decompose_signed_planes(rot - acc, params.pbs_decomposer)
+        # [levels, k+1, B, N] -> [levels*(k+1), B, N]: pure concat, no relayout
+        digits = digits.reshape((levels * k1,) + digits.shape[2:])
+        raw = ep_contract_pallas_rbn(digits, bk_i, interpret=interpret)
+        return acc + ep_combine_planes(raw), None
+
+    acc, _ = lax.scan(step, acc0, (bk_lm, a_hat))
+    return jnp.swapaxes(acc, 0, 1)  # back to [B, k+1, N]
+
+
+def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
+                 impl: str = "auto") -> jnp.ndarray:
+    """n-step CMUX loop (src/bootstrapping.rs:79-105); batched.
+
+    approx_ct: u32[B, n+1] already mod-switched to 2N; tv_encoded: u32[N]
+    (the *encoded* test vector, src/bootstrapping.rs:82-86).
+    """
+    impl = resolve_impl(impl)
+    if impl == "pallas":
+        return _blind_rotate_pallas(params, approx_ct, server_key.bk_lm, tv_encoded)
+    if impl == "pallas_interpret":
+        return _blind_rotate_pallas(
+            params, approx_ct, server_key.bk_lm, tv_encoded, interpret=True
+        )
+    bk = server_key.bk_conv if impl == "conv" else server_key.bk_u32
+    return _blind_rotate_xla(params, approx_ct, bk, tv_encoded, impl)
+
+
+def pbs(params: TfheParams, ct, server_key, tv_encoded, impl: str = "auto"):
+    """Full programmable bootstrap (src/bootstrapping.rs:58-120); batched.
+
+    ct: u32[B, n+1]; server_key: models.keys.ServerKey; tv_encoded: u32[N].
+    """
     approx = switch_modulus(u32(ct), params.log_q, params.log_degree + 1)
-    acc = blind_rotate(params, approx, bk_conv_i8, bk_u32, tv_encoded, impl=impl)
+    acc = blind_rotate(params, approx, server_key, u32(tv_encoded), impl=impl)
     extracted = sample_extract0(acc)
     from_n = params.glwe_dimension * params.degree
-    return mks.key_switch(extracted, from_n, params.ks_decomposer, ksk_mat_i8)
+    return mks.key_switch(extracted, from_n, params.ks_decomposer, server_key.ksk_mat)

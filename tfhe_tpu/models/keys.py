@@ -27,7 +27,7 @@ from tfhe_tpu.models import ggsw as mggsw
 from tfhe_tpu.models import glwe as mglwe
 from tfhe_tpu.models import keyswitch as mks
 from tfhe_tpu.ops import sampling
-from tfhe_tpu.ops.poly import bk_to_conv_kernel
+from tfhe_tpu.ops.poly import bk_to_conv_kernel, level_major_row_perm
 from tfhe_tpu.params import TfheParams
 
 
@@ -46,8 +46,9 @@ class ClientKey:
 class ServerKey:
     """Bootstrapping key + key-switching key (src/bootstrapping.rs:18-21)."""
 
-    bk_u32: jax.Array  # u32[n, R, k+1, N]
-    bk_conv: jax.Array  # int8[n, (k+1)*4, R, N]
+    bk_u32: jax.Array  # u32[n, R, k+1, N] (canonical GGSW row order)
+    bk_conv: jax.Array  # int8[n, (k+1)*4, R, N] (conv backend layout)
+    bk_lm: jax.Array  # u32[n, R, k+1, N], rows level-major (pallas backend)
     ksk_u32: jax.Array  # u32[kN*l_ks, n+1]
     ksk_mat: jax.Array  # int8[kN*l_ks, (n+1)*4]
     params: TfheParams = dataclasses.field(metadata=dict(static=True))
@@ -64,11 +65,14 @@ def make_server_key(
     sk_t = mglwe.sk_toeplitz(glwe_sk)
     bk_u32 = mggsw.encrypt(sk_t, lwe_sk, params, bk_a, bk_e)  # [n, R, k+1, N]
     bk_conv = bk_to_conv_kernel(bk_u32)
+    perm = level_major_row_perm(params.glwe_dimension + 1, params.pbs_decomposer.levels)
+    bk_lm = bk_u32[:, perm]
     glwe_flat = jnp.asarray(glwe_sk, jnp.uint32).reshape(-1)  # (src/lwe.rs:62-73)
     ksk_u32 = mks.generate_ksk(glwe_flat, lwe_sk, params.ks_decomposer, ksk_a, ksk_e)
     ksk_mat = mks.ksk_to_matmul(ksk_u32)
     return ServerKey(
-        bk_u32=bk_u32, bk_conv=bk_conv, ksk_u32=ksk_u32, ksk_mat=ksk_mat, params=params
+        bk_u32=bk_u32, bk_conv=bk_conv, bk_lm=bk_lm, ksk_u32=ksk_u32,
+        ksk_mat=ksk_mat, params=params,
     )
 
 

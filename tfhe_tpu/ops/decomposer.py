@@ -72,3 +72,29 @@ def recompose(digits_u32, p: DecomposerParams) -> jnp.ndarray:
     )
     value = (d << shifts).sum(axis=-1, dtype=jnp.uint32)
     return value << jnp.uint32(p.ignored_bits)
+
+
+def decompose_signed_planes(value, p: DecomposerParams) -> jnp.ndarray:
+    """Like ``decompose_signed`` but stacks the level axis FIRST:
+    u32[...] -> int8[levels, ...] (MSB-first).
+
+    Stacking on a new leading axis is a concat (no relayout), unlike the
+    trailing-axis stack which transposes levels past the lane dimension —
+    that transpose costs ~100us/step inside the blind-rotation scan on TPU.
+    """
+    value = round_value(value, p)
+    log_base = p.log_base
+    base_mask = jnp.uint32((1 << log_base) - 1)
+    half_mask = jnp.uint32(1 << (log_base - 1))
+    carry = jnp.zeros_like(value)
+    digits = []
+    for l in range(p.l_full):
+        res = ((value >> jnp.uint32(log_base * l)) & base_mask) + carry
+        carry_mask = res & half_mask
+        res = res - (carry_mask << jnp.uint32(1))
+        carry = carry_mask >> jnp.uint32(log_base - 1)
+        digits.append(res)
+    digits.reverse()
+    return jnp.stack(
+        [digits_to_signed(x, p) for x in digits[: p.levels]], axis=0
+    )

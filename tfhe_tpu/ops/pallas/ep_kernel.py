@@ -41,13 +41,15 @@ def _ep_kernel(d_ref, bk_ref, out_ref, *, n: int, c_dim: int):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    d = d_ref[:, 0, :]  # [B, N] int8 digits of row r
+    d = d_ref[r]  # [B, N] int8 digits of row r (row-major layout: leading
+    # dim is dynamically indexable; sublane/lane dims are not)
+    bkr = bk_ref[r]  # [C, N] u32
 
     for c in range(c_dim):
-        g = bk_ref[0, c, :]  # [N] u32
-        g_ext = jnp.concatenate([g, -g])  # [2N]; negacyclic sign in u32
+        g = bkr[c : c + 1, :]  # [1, N] u32 (keep 2-D for Mosaic)
+        g_ext = jnp.concatenate([g, -g], axis=1)  # [1, 2N]; sign in u32
         # circ[m, j] = g_ext[(j - m) mod 2N]; one strided lane-roll
-        base = jnp.broadcast_to(g_ext[None, :], (n, 2 * n))
+        base = jnp.broadcast_to(g_ext, (n, 2 * n))
         circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
         w_u32 = circ[:, :n]  # [N(m), N(o)]: +-bk[r,c,(o-m)%N]
         t = w_u32 + jnp.uint32(0x80808080)
@@ -66,12 +68,16 @@ def ep_contract_pallas(digits_i8, bk_u32, interpret: bool = False):
     b, r_dim, n = digits_i8.shape
     _, c_dim, _ = bk_u32.shape
     f = c_dim * NUM_LIMBS
+    digits_rbn = jnp.moveaxis(digits_i8, 1, 0)  # [R, B, N]
     return pl.pallas_call(
         functools.partial(_ep_kernel, n=n, c_dim=c_dim),
         grid=(r_dim,),
         in_specs=[
-            pl.BlockSpec((b, 1, n), lambda r: (0, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_dim, n), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            # full arrays in VMEM (digits 2.3MB, bk 0.6MB); rows picked by
+            # program_id — a size-1 blocked dim may not occupy the last two
+            # block positions on TPU
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b, f, n), lambda r: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, f, n), jnp.int32),
@@ -84,4 +90,67 @@ def ep_contract_pallas(digits_i8, bk_u32, interpret: bool = False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(digits_i8, bk_u32)
+    )(digits_rbn, bk_u32)
+
+
+def _ep_kernel_rbn(d_ref, bk_ref, out_ref, *, n: int, c_dim: int):
+    """Variant with digits [R, B, N] and output planes [C, L, B, N] — the
+    transpose-free layout used by the blind-rotation scan (digits arrive
+    level-major straight from the plane-stacked decomposer; output planes
+    recombine elementwise into the [C, B, N] accumulator)."""
+    r = pl.program_id(0)
+
+    @pl.when(r == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    d = d_ref[r]  # [B, N] int8
+    bkr = bk_ref[r]  # [C, N] u32
+
+    for c in range(c_dim):
+        g = bkr[c : c + 1, :]  # [1, N]
+        g_ext = jnp.concatenate([g, -g], axis=1)  # sign in u32
+        base = jnp.broadcast_to(g_ext, (n, 2 * n))
+        circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
+        t = circ[:, :n] + jnp.uint32(0x80808080)
+        for l in range(NUM_LIMBS):
+            limb = ((t >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)).astype(
+                jnp.int32
+            ) - 128
+            out_ref[c, l] += jnp.dot(
+                d, limb.astype(jnp.int8), preferred_element_type=jnp.int32
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ep_contract_pallas_rbn(digits_rbn_i8, bk_rows_u32, interpret: bool = False):
+    """digits int8[R, B, N] x GGSW rows u32[R, C, N] -> int32[C, 4, B, N].
+
+    Row order of ``digits`` and ``bk_rows`` must match (the blind rotation
+    uses level-major rows r' = level*(k+1)+poly with a correspondingly
+    permuted key; the contraction is row-order invariant).
+    """
+    r_dim, b, n = digits_rbn_i8.shape
+    _, c_dim, _ = bk_rows_u32.shape
+    return pl.pallas_call(
+        functools.partial(_ep_kernel_rbn, n=n, c_dim=c_dim),
+        grid=(r_dim,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (c_dim, NUM_LIMBS, b, n), lambda r: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c_dim, NUM_LIMBS, b, n), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r_dim * n * n * c_dim * NUM_LIMBS,
+            bytes_accessed=b * r_dim * n + r_dim * c_dim * n * 4
+            + c_dim * NUM_LIMBS * b * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(digits_rbn_i8, bk_rows_u32)

@@ -224,3 +224,21 @@ def ep_combine(acc_i32, k_plus_1: int) -> jnp.ndarray:
     accs = acc_i32.reshape(b, k_plus_1, NUM_LIMBS, n)
     accs = jnp.moveaxis(accs, -2, -1)  # [B, C, N, 4]
     return combine_limb_accs(accs)
+
+
+def ep_combine_planes(acc_i32) -> jnp.ndarray:
+    """int32[C, L, B, N] limb planes -> u32[C, B, N] wrapping delta."""
+    u = acc_i32.astype(jnp.uint32)
+    out = u[:, 0]
+    for l in range(1, NUM_LIMBS):
+        out = out + (u[:, l] << jnp.uint32(8 * l))
+    return out
+
+
+def level_major_row_perm(k_plus_1: int, levels: int):
+    """Permutation mapping level-major row r' = level*(k+1)+poly to the
+    canonical GGSW row poly*levels+level (src/ggsw.rs:43-75 layout)."""
+    import numpy as _np
+
+    rp = _np.arange(k_plus_1 * levels)
+    return (rp % k_plus_1) * levels + (rp // k_plus_1)

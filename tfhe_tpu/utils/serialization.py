@@ -17,7 +17,7 @@ import numpy as np
 
 from tfhe_tpu.models.keys import ClientKey, ServerKey
 from tfhe_tpu.models.keyswitch import ksk_to_matmul
-from tfhe_tpu.ops.poly import bk_to_conv_kernel
+from tfhe_tpu.ops.poly import bk_to_conv_kernel, level_major_row_perm
 from tfhe_tpu.params import DecomposerParams, TfheParams
 
 
@@ -64,12 +64,17 @@ def load_server_key(path: str) -> ServerKey:
     with np.load(path) as z:
         bk_u32 = jnp.asarray(z["bk_u32"])
         ksk_u32 = jnp.asarray(z["ksk_u32"])
+        params = params_from_json(str(z["params"]))
+        perm = level_major_row_perm(
+            params.glwe_dimension + 1, params.pbs_decomposer.levels
+        )
         return ServerKey(
             bk_u32=bk_u32,
             bk_conv=bk_to_conv_kernel(bk_u32),
+            bk_lm=bk_u32[:, perm],
             ksk_u32=ksk_u32,
             ksk_mat=ksk_to_matmul(ksk_u32),
-            params=params_from_json(str(z["params"])),
+            params=params,
         )
 
 
