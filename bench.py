@@ -87,8 +87,8 @@ def main():
             log(f"  [{impl} b={batch}] gate errors: {errs}/{batch}")
         return rate
 
-    impls = ["pallas", "conv"] if args.impl == "auto" else [args.impl]
-    batches = [args.batch] if args.batch else [256, 1024]
+    impls = ["pallas"] if args.impl == "auto" else [args.impl]
+    batches = [args.batch] if args.batch else [1024]
     best_rate = 0.0
     for impl in impls:
         for b in batches:
@@ -96,6 +96,12 @@ def main():
                 best_rate = max(best_rate, bench_impl(impl, b, args.iters))
             except Exception as e:
                 log(f"  [{impl} b={b}] FAILED: {type(e).__name__}: {e}")
+    if best_rate == 0.0 and args.impl == "auto":
+        # pallas unavailable (e.g. CPU-only run): fall back to the conv backend
+        try:
+            best_rate = bench_impl("conv", 64, 2)
+        except Exception as e:
+            log(f"  [conv fallback] FAILED: {type(e).__name__}: {e}")
 
     print(
         json.dumps(
