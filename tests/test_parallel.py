@@ -77,3 +77,35 @@ def test_model_axis_3way(keys, cts, reference_out):
     bad = TEST.replace(name="bad")
     with pytest.raises(AssertionError):
         make_sharded_gate(make_mesh(batch=1, model=8), bad, "nand")
+
+
+def test_pallas_sharded_interpret_small():
+    """Pallas backend under shard_map (model-sharded rows + psum) matches the
+    single-device conv path bit-exactly.  Runs the kernel in interpret mode on
+    CPU via a monkeypatched interpret default."""
+    import tfhe_tpu.ops.pallas.ep_kernel as epk
+    import functools as _ft
+
+    orig = epk.ep_contract_pallas_rbn
+
+    def interp(digits, bk, interpret=False):
+        return orig(digits, bk, interpret=True)
+
+    epk.ep_contract_pallas_rbn = interp
+    import tfhe_tpu.parallel.sharded as shd
+    shd.ep_contract_pallas_rbn = interp
+    try:
+        ck, sk = tfhe.keygen(TEST, jax.random.key(7))
+        rng = np.random.default_rng(8)
+        lhs = rng.integers(0, 2, size=4).astype(np.uint32)
+        rhs = rng.integers(0, 2, size=4).astype(np.uint32)
+        ct1 = tfhe.encrypt(ck, lhs, key=1)
+        ct0 = tfhe.encrypt(ck, rhs, key=2)
+        want = np.asarray(tfhe.gates.gate(sk, "nand", ct0, ct1, impl="conv"))
+        mesh = make_mesh(batch=4, model=2)
+        gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="pallas")
+        out = np.asarray(gate_fn(ct0, ct1, sk))
+        assert np.array_equal(out, want)
+    finally:
+        epk.ep_contract_pallas_rbn = orig
+        shd.ep_contract_pallas_rbn = orig

@@ -97,8 +97,10 @@ def _ep_kernel_rbn(d_ref, bk_ref, out_ref, *, n: int, c_dim: int):
     """Variant with digits [R, B, N] and output planes [C, L, B, N] — the
     transpose-free layout used by the blind-rotation scan (digits arrive
     level-major straight from the plane-stacked decomposer; output planes
-    recombine elementwise into the [C, B, N] accumulator)."""
-    r = pl.program_id(0)
+    recombine elementwise into the [C, B, N] accumulator).  Grid is
+    (batch_tiles, R): batch tiles bound VMEM (out planes alone are 24KB/sample
+    in int32), rows accumulate sequentially into the revisited output block."""
+    r = pl.program_id(1)
 
     @pl.when(r == 0)
     def _():
@@ -132,19 +134,23 @@ def ep_contract_pallas_rbn(digits_rbn_i8, bk_rows_u32, interpret: bool = False):
     """
     r_dim, b, n = digits_rbn_i8.shape
     _, c_dim, _ = bk_rows_u32.shape
+    bt = b if b <= 512 else 512
+    assert b % bt == 0
     return pl.pallas_call(
         functools.partial(_ep_kernel_rbn, n=n, c_dim=c_dim),
-        grid=(r_dim,),
+        grid=(b // bt, r_dim),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_dim, bt, n), lambda bb, r: (0, bb, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (c_dim, NUM_LIMBS, b, n), lambda r: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            (c_dim, NUM_LIMBS, bt, n), lambda bb, r: (0, 0, bb, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((c_dim, NUM_LIMBS, b, n), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * r_dim * n * n * c_dim * NUM_LIMBS,

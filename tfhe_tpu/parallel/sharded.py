@@ -27,8 +27,15 @@ from tfhe_tpu.models import glwe as mglwe
 from tfhe_tpu.models import lwe as mlwe
 from tfhe_tpu.models import test_vector as mtv
 from tfhe_tpu.models.keys import ServerKey
-from tfhe_tpu.ops.decomposer import decompose_signed
-from tfhe_tpu.ops.poly import ep_combine, ep_contract_conv, ep_contract_matmul
+from tfhe_tpu.ops.decomposer import decompose_signed, decompose_signed_planes
+from tfhe_tpu.ops.pallas.ep_kernel import ep_contract_pallas_rbn
+from tfhe_tpu.ops.poly import (
+    ep_combine,
+    ep_combine_planes,
+    ep_contract_conv,
+    ep_contract_matmul,
+    monomial_mul,
+)
 from tfhe_tpu.ops.torus import NUM_LIMBS, combine_limb_accs, switch_modulus, u32
 from tfhe_tpu.parallel.mesh import BATCH_AXIS, MODEL_AXIS
 from tfhe_tpu.params import TfheParams
@@ -50,6 +57,30 @@ def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
 
     local_r = bk_c.shape[-2] if impl == "conv" else bk_m.shape[-3]
     shard = lax.axis_index(model_axis) if model_axis else 0
+
+    if impl == "pallas":
+        # transpose-free layout; bk_m holds level-major rows (ServerKey.bk_lm)
+        k1 = k + 1
+        levels = params.pbs_decomposer.levels
+        acc0 = jnp.swapaxes(acc0, 0, 1)  # [k+1, B, N]
+
+        def step_p(acc, xs):
+            _, bk_i, a_i = xs  # bk_i u32[R_local, k+1, N]
+            rot = monomial_mul(acc, a_i[None, :])
+            digits = decompose_signed_planes(rot - acc, params.pbs_decomposer)
+            digits = digits.reshape((levels * k1,) + digits.shape[2:])
+            if model_axis:
+                digits = lax.dynamic_slice_in_dim(
+                    digits, shard * local_r, local_r, axis=0
+                )
+            raw = ep_contract_pallas_rbn(digits, bk_i)
+            if model_axis:
+                raw = lax.psum(raw, model_axis)
+            return acc + ep_combine_planes(raw), None
+
+        xs = (jnp.zeros((n_dim, 0), jnp.int8), bk_m, a_hat)
+        acc, _ = lax.scan(step_p, acc0, xs)
+        return jnp.swapaxes(acc, 0, 1)
 
     def step(acc, xs):
         bkc_i, bkm_i, a_i = xs
@@ -148,6 +179,7 @@ def make_sharded_gate(
         return sharded(ct0, ct1, bk_conv, bk_u32, ksk_mat)
 
     def call(ct0, ct1, sk: ServerKey):
-        return run(ct0, ct1, sk.bk_conv, sk.bk_u32, sk.ksk_mat)
+        bk_rows = sk.bk_lm if impl == "pallas" else sk.bk_u32
+        return run(ct0, ct1, sk.bk_conv, bk_rows, sk.ksk_mat)
 
     return call
