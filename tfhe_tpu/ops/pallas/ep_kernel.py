@@ -124,8 +124,9 @@ def _ep_kernel_rbn(d_ref, bk_ref, out_ref, *, n: int, c_dim: int):
             )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def ep_contract_pallas_rbn(digits_rbn_i8, bk_rows_u32, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))
+def ep_contract_pallas_rbn(digits_rbn_i8, bk_rows_u32, interpret: bool = False,
+                           batch_tile: int | None = None):
     """digits int8[R, B, N] x GGSW rows u32[R, C, N] -> int32[C, 4, B, N].
 
     Row order of ``digits`` and ``bk_rows`` must match (the blind rotation
@@ -134,8 +135,12 @@ def ep_contract_pallas_rbn(digits_rbn_i8, bk_rows_u32, interpret: bool = False):
     """
     r_dim, b, n = digits_rbn_i8.shape
     _, c_dim, _ = bk_rows_u32.shape
-    bt = b if b <= 512 else 512
-    assert b % bt == 0
+    # Batch tiling bounds VMEM (the int32 output planes are 24KB/sample).
+    # Empirically (v5e): untiled compiles and is fastest inside the rotation
+    # scan up to B=1024; beyond that tile at 128 (256 overflows the 16MB
+    # scoped VMEM budget by ~0.6MB when standalone).
+    bt = batch_tile or (b if b <= 1024 else 128)
+    assert b % bt == 0, (b, bt)
     return pl.pallas_call(
         functools.partial(_ep_kernel_rbn, n=n, c_dim=c_dim),
         grid=(b // bt, r_dim),
