@@ -283,3 +283,74 @@ class TestNegativePhaseWrap:
                 t_decode(g.decrypt_lwe(d["lwe_sk"], out), p.log_q, p.log_p, p.padding_bits)
             )
             assert got == 1, eps
+
+
+class TestThreeInputGates:
+    """3-input gates via 4c2+2c1+c0 (notes/Boolean Gates.md:7-11) on the
+    log_p=3 profile, plus the generic LUT bootstrap."""
+
+    @pytest.fixture(scope="class")
+    def keys3(self):
+        return tfhe.keygen(get_params("test_insecure_3in"), jax.random.key(321))
+
+    @pytest.mark.parametrize("gate", ["mux", "maj", "and3", "xor3"])
+    def test_gate3_truth_table(self, keys3, gate):
+        ck, sk = keys3
+        f = mtv.GATE3_FNS[gate]
+        bits = np.array([[ (i>>2)&1, (i>>1)&1, i&1 ] for i in range(8)], np.uint32)
+        c2 = tfhe.encrypt(ck, bits[:, 0], key=60)
+        c1 = tfhe.encrypt(ck, bits[:, 1], key=61)
+        c0 = tfhe.encrypt(ck, bits[:, 2], key=62)
+        out = tfhe.gates.gate3(sk, gate, c2, c1, c0)
+        got = np.asarray(tfhe.decrypt(ck, out))
+        want = np.array([f(int(r[0]), int(r[1]), int(r[2])) for r in bits])
+        assert np.array_equal(got, want), gate
+
+    def test_apply_lut_generic(self, keys3):
+        ck, sk = keys3
+        lut = [3, 1, 4, 1, 5, 2, 6, 5]  # arbitrary function Z_8 -> Z_8... values < 8
+        msgs = np.arange(8, dtype=np.uint32)
+        cts = tfhe.encrypt(ck, msgs, key=63)
+        out = tfhe.gates.apply_lut(sk, cts, lut)
+        got = np.asarray(tfhe.decrypt(ck, out))
+        assert np.array_equal(got, np.array(lut))
+
+
+class TestBmmp:
+    """BMMP halved-depth bootstrapping (notes/BMMP Bootstrapping.md:15-25) —
+    documented in the reference but implemented only here."""
+
+    @pytest.fixture(scope="class")
+    def bmmp_keys(self):
+        return tfhe.keygen(TEST, jax.random.key(777), bmmp=True)
+
+    def test_key_shape(self, bmmp_keys):
+        _, sk = bmmp_keys
+        p = TEST
+        rows = (p.glwe_dimension + 1) * p.pbs_decomposer.levels
+        assert sk.bk_bmmp_lm.shape == (
+            p.lwe_dimension // 2, 3 * rows, p.glwe_dimension + 1, p.degree
+        )
+
+    @pytest.mark.parametrize("gate", ["nand", "xor"])
+    def test_gates_via_bmmp(self, bmmp_keys, gate):
+        ck, sk = bmmp_keys
+        lhs = np.array([0, 0, 1, 1], dtype=np.uint32)
+        rhs = np.array([0, 1, 0, 1], dtype=np.uint32)
+        c1 = tfhe.encrypt(ck, lhs, key=70)
+        c0 = tfhe.encrypt(ck, rhs, key=71)
+        out = tfhe.gates.gate(sk, gate, c0, c1, impl="bmmp_interpret")
+        got = np.asarray(tfhe.decrypt(ck, out))
+        want = np.array([mtv.GATE_FNS[gate](int(l), int(r)) for l, r in zip(lhs, rhs)])
+        assert np.array_equal(got, want), gate
+
+    def test_noise_margin(self, bmmp_keys):
+        from tfhe_tpu.utils import noise as unoise
+
+        ck, sk = bmmp_keys
+        msgs = np.array([0, 1, 2, 3], dtype=np.uint32)
+        out = tfhe.bootstrap_identity(sk, tfhe.encrypt(ck, msgs, key=72),
+                                      impl="bmmp_interpret")
+        rep = unoise.measure(ck, out, msgs)
+        assert rep.failures == 0
+        assert rep.max_abs_over_delta < 0.5

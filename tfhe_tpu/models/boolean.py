@@ -66,6 +66,29 @@ def gate(sk: ServerKey, name: str, ct0, ct1, impl: str = "auto") -> jnp.ndarray:
     return _pbs_with_tv(sk, ct_in, tv, impl)
 
 
+def apply_lut(sk: ServerKey, ct, lut, impl: str = "auto") -> jnp.ndarray:
+    """Generic programmable bootstrap: ct already encodes the LUT index
+    (0..2^log_p); ``lut`` maps each index to an output cleartext."""
+    tv = jnp.asarray(mtv.lut_test_vector(sk.params, tuple(int(x) for x in lut)))
+    return _pbs_with_tv(sk, ct, tv, impl)
+
+
+def gate3(sk: ServerKey, name: str, ct2, ct1, ct0, impl: str = "auto") -> jnp.ndarray:
+    """Named 3-input gate: ct_in = 4*ct2 + 2*ct1 + ct0, one PBS
+    (notes/Boolean Gates.md:7-11).  Requires a log_p>=3 parameter set.
+    ``mux3(s, a, b) = gate3('mux', s, a, b)`` is a single-PBS multiplexer."""
+    tv = jnp.asarray(mtv.gate3_test_vector(sk.params, name))
+    ct_in = mlwe.add(
+        mlwe.add(mlwe.scalar_mul(ct2, 4), mlwe.scalar_mul(ct1, 2)), ct0
+    )
+    return _pbs_with_tv(sk, ct_in, tv, impl)
+
+
+def mux3(sk: ServerKey, sel, a, b, impl: str = "auto") -> jnp.ndarray:
+    """Single-PBS MUX on log_p>=3 params (vs the 3-PBS 2-input composition)."""
+    return gate3(sk, "mux", sel, a, b, impl=impl)
+
+
 def bootstrap_identity(sk: ServerKey, ct, impl: str = "auto") -> jnp.ndarray:
     """Noise-refreshing identity bootstrap (src/bootstrapping.rs tests)."""
     tv = jnp.asarray(mtv.identity_test_vector(sk.params))

@@ -120,6 +120,43 @@ def _blind_rotate_pallas(params, approx_ct, bk_lm, tv_encoded, interpret=False):
     return jnp.swapaxes(acc, 0, 1)  # back to [B, k+1, N]
 
 
+def _blind_rotate_bmmp(params, approx_ct, bk_bmmp_lm, tv_encoded, interpret=False):
+    """BMMP halved-depth rotation (notes/BMMP Bootstrapping.md:15-25):
+
+        acc *= X^(a s + a' s')
+             = acc + EP(G(ss'), (X^(a+a')-1)acc)
+                   + EP(G(s(1-s')), (X^a-1)acc)
+                   + EP(G((1-s)s'), (X^(a')-1)acc)
+
+    n/2 scan steps; the three external products share one fused contraction
+    (digit rows and key rows concatenated variant-major).  Implemented but
+    only *documented* in the reference (its loop is the standard per-bit one,
+    src/bootstrapping.rs:90-105).
+    """
+    k1 = params.glwe_dimension + 1
+    levels = params.pbs_decomposer.levels
+    two_n = 2 * params.degree
+    acc0_bkn, a_hat = _init_acc(params, approx_ct, tv_encoded)
+    acc0 = jnp.swapaxes(acc0_bkn, 0, 1)  # [k+1, B, N]
+    a0 = a_hat[0::2]  # [n/2, B]
+    a1 = a_hat[1::2]
+    asum = jnp.mod(a0 + a1, two_n)
+
+    def step(acc, xs):
+        bk_i, e0, e1, es = xs  # bk_i u32[3R, k+1, N]
+        digit_blocks = []
+        for e in (es, e0, e1):  # order matches key triple (ss', s(1-s'), (1-s)s')
+            rot = monomial_mul(acc, e[None, :]) - acc  # (X^e - 1) acc
+            digs = decompose_signed_planes(rot, params.pbs_decomposer)
+            digit_blocks.append(digs.reshape((levels * k1,) + digs.shape[2:]))
+        digits = jnp.concatenate(digit_blocks, axis=0)  # [3R, B, N]
+        raw = ep_contract_pallas_rbn(digits, bk_i, interpret=interpret)
+        return acc + ep_combine_planes(raw), None
+
+    acc, _ = lax.scan(step, acc0, (bk_bmmp_lm, a0, a1, asum))
+    return jnp.swapaxes(acc, 0, 1)
+
+
 def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
                  impl: str = "auto") -> jnp.ndarray:
     """n-step CMUX loop (src/bootstrapping.rs:79-105); batched.
@@ -128,6 +165,12 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     (the *encoded* test vector, src/bootstrapping.rs:82-86).
     """
     impl = resolve_impl(impl)
+    if impl in ("bmmp", "bmmp_interpret"):
+        assert server_key.bk_bmmp_lm is not None, "keygen(..., bmmp=True) required"
+        return _blind_rotate_bmmp(
+            params, approx_ct, server_key.bk_bmmp_lm, tv_encoded,
+            interpret=(impl == "bmmp_interpret"),
+        )
     if impl == "pallas":
         return _blind_rotate_pallas(params, approx_ct, server_key.bk_lm, tv_encoded)
     if impl == "pallas_interpret":

@@ -52,10 +52,16 @@ class ServerKey:
     ksk_u32: jax.Array  # u32[kN*l_ks, n+1]
     ksk_mat: jax.Array  # int8[kN*l_ks, (n+1)*4]
     params: TfheParams = dataclasses.field(metadata=dict(static=True))
+    #: optional BMMP key (notes/BMMP Bootstrapping.md:15-25): per secret-bit
+    #: pair i, the level-major rows of GGSW(s s'), GGSW(s(1-s')),
+    #: GGSW((1-s)s') concatenated -> u32[n/2, 3R, k+1, N].  None unless
+    #: keygen(..., bmmp=True).
+    bk_bmmp_lm: jax.Array | None = None
 
 
 def make_server_key(
-    params: TfheParams, lwe_sk, glwe_sk, bk_a, bk_e, ksk_a, ksk_e
+    params: TfheParams, lwe_sk, glwe_sk, bk_a, bk_e, ksk_a, ksk_e,
+    bmmp_a=None, bmmp_e=None,
 ) -> ServerKey:
     """Deterministic keygen core (src/bootstrapping.rs:23-56).
 
@@ -70,21 +76,34 @@ def make_server_key(
     glwe_flat = jnp.asarray(glwe_sk, jnp.uint32).reshape(-1)  # (src/lwe.rs:62-73)
     ksk_u32 = mks.generate_ksk(glwe_flat, lwe_sk, params.ks_decomposer, ksk_a, ksk_e)
     ksk_mat = mks.ksk_to_matmul(ksk_u32)
+    bk_bmmp_lm = None
+    if bmmp_a is not None:
+        # secret-bit pair products (notes/BMMP Bootstrapping.md:15-25)
+        s0 = jnp.asarray(lwe_sk, jnp.uint32)[0::2]
+        s1 = jnp.asarray(lwe_sk, jnp.uint32)[1::2]
+        trip = jnp.stack([s0 * s1, s0 * (1 - s1), (1 - s0) * s1], axis=1)
+        trip = trip.reshape(-1)  # [3n/2] bit messages
+        bmmp_u32 = mggsw.encrypt(sk_t, trip, params, bmmp_a, bmmp_e)
+        bmmp_lm = bmmp_u32[:, perm]  # level-major rows per GGSW
+        half = trip.shape[0] // 3
+        r, k1, deg = bmmp_lm.shape[1], bmmp_lm.shape[2], bmmp_lm.shape[3]
+        bk_bmmp_lm = bmmp_lm.reshape(half, 3 * r, k1, deg)
     return ServerKey(
         bk_u32=bk_u32, bk_conv=bk_conv, bk_lm=bk_lm, ksk_u32=ksk_u32,
-        ksk_mat=ksk_mat, params=params,
+        ksk_mat=ksk_mat, params=params, bk_bmmp_lm=bk_bmmp_lm,
     )
 
 
-def keygen(params: TfheParams, key) -> tuple[ClientKey, ServerKey]:
+def keygen(params: TfheParams, key, bmmp: bool = False) -> tuple[ClientKey, ServerKey]:
     """Sample secret keys and derive the server key (src/utils.rs:238-243 +
-    src/bootstrapping.rs:23-56)."""
+    src/bootstrapping.rs:23-56).  ``bmmp=True`` additionally generates the
+    1.5x-size BMMP key triples enabling the halved-depth rotation."""
     if isinstance(key, int):
         key = jax.random.key(key)
     k, n, N = params.glwe_dimension, params.lwe_dimension, params.degree
     dp, ks = params.pbs_decomposer, params.ks_decomposer
     rows = (k + 1) * dp.levels
-    k_lwe, k_glwe, k_bka, k_bke, k_kska, k_kske = jax.random.split(key, 6)
+    k_lwe, k_glwe, k_bka, k_bke, k_kska, k_kske, k_ba, k_be = jax.random.split(key, 8)
     lwe_sk = sampling.binary(k_lwe, (n,))
     glwe_sk = sampling.binary(k_glwe, (k, N))
     bk_a = sampling.uniform_u32(k_bka, (n, rows, k, N))
@@ -92,6 +111,15 @@ def keygen(params: TfheParams, key) -> tuple[ClientKey, ServerKey]:
     kn = k * N
     ksk_a = sampling.uniform_u32(k_kska, (kn * ks.levels, n))
     ksk_e = sampling.gaussian_torus(k_kske, params.lwe_std_dev, (kn * ks.levels,))
+    bmmp_a = bmmp_e = None
+    if bmmp:
+        assert n % 2 == 0, "BMMP pairs secret bits; n must be even"
+        bmmp_a = sampling.uniform_u32(k_ba, (3 * n // 2, rows, k, N))
+        bmmp_e = sampling.gaussian_torus(
+            k_be, params.glwe_std_dev, (3 * n // 2, rows, N)
+        )
     ck = ClientKey(lwe_sk=lwe_sk, glwe_sk=glwe_sk, params=params)
-    sk = make_server_key(params, lwe_sk, glwe_sk, bk_a, bk_e, ksk_a, ksk_e)
+    sk = make_server_key(
+        params, lwe_sk, glwe_sk, bk_a, bk_e, ksk_a, ksk_e, bmmp_a, bmmp_e
+    )
     return ck, sk

@@ -65,6 +65,34 @@ def gate_test_vector(params: TfheParams, gate: str) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def lut_test_vector(params: TfheParams, lut: tuple) -> np.ndarray:
+    """Encoded test vector for an arbitrary LUT over the 2^log_p cleartext
+    space (generic programmable bootstrapping)."""
+    return encode_tv(params, construct_test_from_lut(params, list(lut)))
+
+
+#: 3-input gate truth functions over index i = 4*c2 + 2*c1 + c0
+#: (notes/Boolean Gates.md:7-11); require log_p >= 3
+GATE3_FNS = {
+    "mux": lambda s, a, b: a if s else b,  # s ? a : b — ONE PBS instead of 3
+    "maj": lambda a, b, c: (a & b) | (a & c) | (b & c),
+    "and3": lambda a, b, c: a & b & c,
+    "or3": lambda a, b, c: a | b | c,
+    "xor3": lambda a, b, c: a ^ b ^ c,
+}
+
+
+@lru_cache(maxsize=None)
+def gate3_test_vector(params: TfheParams, gate: str) -> np.ndarray:
+    """Encoded test vector for a named 3-input gate: index i decodes as
+    (bit2, bit1, bit0)."""
+    assert params.log_p >= 3, "3-input gates need log_p >= 3"
+    f = GATE3_FNS[gate]
+    lut = [f((i >> 2) & 1, (i >> 1) & 1, i & 1) for i in range(1 << params.log_p)]
+    return encode_tv(params, construct_test_from_lut(params, lut))
+
+
+@lru_cache(maxsize=None)
 def identity_test_vector(params: TfheParams) -> np.ndarray:
     """Encoded identity LUT (src/test_vector.rs:23-35)."""
     lut = list(range(1 << params.log_p))

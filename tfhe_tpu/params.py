@@ -160,13 +160,13 @@ class TfheParams:
         return dataclasses.replace(self, **kw)
 
 
-def _mk(name: str, *, k: int, log_degree: int, n: int) -> TfheParams:
+def _mk(name: str, *, k: int, log_degree: int, n: int, log_p: int = 2) -> TfheParams:
     return TfheParams(
         glwe_dimension=k,
         log_degree=log_degree,
         lwe_dimension=n,
         padding_bits=1,
-        log_p=2,
+        log_p=log_p,
         log_q=32,
         ks_decomposer=DecomposerParams(log_base=4, levels=5, log_q=32),
         pbs_decomposer=DecomposerParams(log_base=4, levels=6, log_q=32),
@@ -184,6 +184,10 @@ PARAMS: dict[str, TfheParams] = {
     "test_insecure": _mk("test_insecure", k=2, log_degree=9, n=4),
     "default_128": _mk("default_128", k=2, log_degree=9, n=722),
     "nano": _mk("nano", k=1, log_degree=6, n=4),
+    # log_p=3 profiles for 3-input gates (4c2+2c1+c0 encoding,
+    # notes/Boolean Gates.md:7-11); message space Z_8, same lattice dims
+    "test_insecure_3in": _mk("test_insecure_3in", k=2, log_degree=9, n=4, log_p=3),
+    "default_128_3in": _mk("default_128_3in", k=2, log_degree=9, n=722, log_p=3),
 }
 
 
