@@ -79,6 +79,39 @@ def test_model_axis_3way(keys, cts, reference_out):
         make_sharded_gate(make_mesh(batch=1, model=8), bad, "nand")
 
 
+@pytest.mark.parametrize("shape,m_micro", [((2, 4), 3), ((4, 2), 2), ((1, 4), 5)])
+def test_pipeline_parallel_bit_exact(keys, cts, shape, m_micro):
+    """Pipeline-parallel rotation (ppermute stage hops) is bit-identical to
+    the single-device scan, for several (batch, stage) splits and queue
+    depths (including a deeper-than-stages queue and a 1-wide batch axis)."""
+    from tfhe_tpu.parallel.mesh import make_pipeline_mesh
+    from tfhe_tpu.parallel.pipeline import make_pipelined_gate
+
+    ck, sk = keys
+    lhs, rhs, ct0, ct1 = cts
+    batch_sz, stages = shape
+    # queue of M microbatches: replicate the 8-ct batch with varied keys
+    lhs_q = np.stack([np.roll(lhs, i) for i in range(m_micro)])
+    rhs_q = np.stack([np.roll(rhs, i) for i in range(m_micro)])
+    ct1_q = np.stack([np.asarray(tfhe.encrypt(ck, l, key=100 + i))
+                      for i, l in enumerate(lhs_q)])
+    ct0_q = np.stack([np.asarray(tfhe.encrypt(ck, r, key=200 + i))
+                      for i, r in enumerate(rhs_q)])
+
+    want = np.stack([
+        np.asarray(tfhe.gates.gate(sk, "nand", ct0_q[i], ct1_q[i], impl="conv"))
+        for i in range(m_micro)
+    ])
+
+    mesh = make_pipeline_mesh(batch=batch_sz, stage=stages,
+                              devices=jax.devices()[: batch_sz * stages])
+    gate_fn = make_pipelined_gate(mesh, TEST, "nand", impl="conv")
+    out = np.asarray(gate_fn(ct0_q, ct1_q, sk))
+    assert np.array_equal(out, want), shape
+    got = np.asarray(tfhe.decrypt(ck, out.reshape(-1, out.shape[-1])))
+    assert np.array_equal(got, (1 - (lhs_q & rhs_q)).reshape(-1))
+
+
 def test_pallas_sharded_interpret_small():
     """Pallas backend under shard_map (model-sharded rows + psum) matches the
     single-device conv path bit-exactly.  Runs the kernel in interpret mode on

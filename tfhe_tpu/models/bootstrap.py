@@ -80,10 +80,15 @@ def _init_acc(params: TfheParams, approx_ct, tv_encoded):
     return acc0, a_hat
 
 
-def _blind_rotate_xla(params, approx_ct, bk, tv_encoded, impl):
-    """conv / matmul backends: acc layout [B, k+1, N]."""
+def rotate_chunk_xla(params, acc, bk_chunk, a_chunk, impl):
+    """Run a contiguous chunk of CMUX steps (conv / matmul backends).
+
+    acc: u32[B, k+1, N]; bk_chunk: the key slice for these steps
+    (conv kernel layout for ``impl='conv'``, canonical u32 rows otherwise);
+    a_chunk: int32[steps, B].  Exposed separately so the pipeline-parallel
+    rotation (parallel/pipeline.py) can run per-stage chunks.
+    """
     k = params.glwe_dimension
-    acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
 
     def step(acc, xs):
         bk_i, a_i = xs
@@ -95,8 +100,14 @@ def _blind_rotate_xla(params, approx_ct, bk, tv_encoded, impl):
             raw = ep_contract_matmul(digits, bk_i)
         return acc + ep_combine(raw, k + 1), None
 
-    acc, _ = lax.scan(step, acc0, (bk, a_hat))
+    acc, _ = lax.scan(step, acc, (bk_chunk, a_chunk))
     return acc
+
+
+def _blind_rotate_xla(params, approx_ct, bk, tv_encoded, impl):
+    """conv / matmul backends: acc layout [B, k+1, N]."""
+    acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+    return rotate_chunk_xla(params, acc0, bk, a_hat, impl)
 
 
 def _blind_rotate_pallas(params, approx_ct, bk_lm, tv_encoded, interpret=False):

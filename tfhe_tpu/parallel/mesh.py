@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BATCH_AXIS = "batch"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"
 
 
 def make_mesh(batch: int | None = None, model: int = 1, devices=None) -> Mesh:
@@ -28,6 +29,17 @@ def make_mesh(batch: int | None = None, model: int = 1, devices=None) -> Mesh:
     assert batch * model == len(devices), (batch, model, len(devices))
     arr = np.array(devices).reshape(batch, model)
     return Mesh(arr, (BATCH_AXIS, MODEL_AXIS))
+
+
+def make_pipeline_mesh(batch: int | None = None, stage: int = 1, devices=None) -> Mesh:
+    """Build a (batch, stage) mesh for pipeline-parallel blind rotation
+    (parallel/pipeline.py): DP over ciphertexts x PP over rotation steps."""
+    devices = list(devices if devices is not None else jax.devices())
+    if batch is None:
+        batch = len(devices) // stage
+    assert batch * stage == len(devices), (batch, stage, len(devices))
+    arr = np.array(devices).reshape(batch, stage)
+    return Mesh(arr, (BATCH_AXIS, STAGE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
