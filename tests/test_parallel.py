@@ -79,6 +79,20 @@ def test_model_axis_3way(keys, cts, reference_out):
         make_sharded_gate(make_mesh(batch=1, model=8), bad, "nand")
 
 
+@pytest.mark.parametrize("model", [2, 4])
+def test_coeff_sharded_bit_exact(keys, cts, reference_out, model):
+    """SP-analog: output coefficients sharded over model, reassembled by
+    all_gather — bit-identical to single-device execution."""
+    ck, sk = keys
+    lhs, rhs, ct0, ct1 = cts
+    mesh = make_mesh(batch=8 // model, model=model)
+    gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="coeffs")
+    out = np.asarray(gate_fn(ct0, ct1, sk))
+    assert np.array_equal(out, reference_out)
+    got = np.asarray(tfhe.decrypt(ck, out))
+    assert np.array_equal(got, 1 - (lhs & rhs))
+
+
 @pytest.mark.parametrize("shape,m_micro", [((2, 4), 3), ((4, 2), 2), ((1, 4), 5)])
 def test_pipeline_parallel_bit_exact(keys, cts, shape, m_micro):
     """Pipeline-parallel rotation (ppermute stage hops) is bit-identical to

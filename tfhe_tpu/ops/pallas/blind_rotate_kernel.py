@@ -16,9 +16,16 @@ DMA, ~0.6MB/step).  Per grid step, entirely on-chip:
      (int8 x int8 -> int32);
   4. limb recombination (wrapping shifts) and acc += delta (VPU).
 
+Layout notes (Mosaic): everything lives plane-major — acc [k+1, B, N],
+digits [levels, k+1, B, N] — so that only the LAST TWO dims (B, N) are
+hardware-tiled and every small static index (poly, level, column) hits an
+untiled leading dim.  Slicing a size-3 tiled sublane dim is rejected by
+Mosaic ("slice shape must be aligned to tiling"), and 1-D -> 3-D shape casts
+are unsupported, so per-sample exponents arrive as [n, B, 1] 2-D tiles.
+
 Exactly reproduces the reference CMUX semantics: acc += EP(digits(rot-acc))
 == cmux(BK_i, acc, rot) (src/ggsw.rs:164-178).  Bit-exact vs the XLA
-formulations (tested in interpret mode and on hardware).
+formulations (tested on hardware).
 """
 
 from __future__ import annotations
@@ -35,24 +42,28 @@ from tfhe_tpu.params import TfheParams
 NUM_LIMBS = 4
 
 
-def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, *, params: TfheParams, batch: int):
+def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, *, params: TfheParams,
+            batch: int):
     n = params.degree
     k1 = params.glwe_dimension + 1
     dp = params.pbs_decomposer
     levels = dp.levels
 
     step = pl.program_id(0)
-    bk_ref = bk_full_ref.at[0]  # [R, k+1, N] block of this step
+    # whole step block as one array load: [R*(k+1), N] u32 (~110KB).  The BK
+    # arrives row-flattened — a [1, R, k+1, N] block would put k+1=3 on a
+    # tiled sublane dim, which Mosaic cannot slice (pads 3 -> 4).
+    bk_step = bk_full_ref[0]
 
     @pl.when(step == 0)
     def _():
         acc_ref[...] = acc_in_ref[...]
 
-    acc = acc_ref[...]  # [B, k+1, N] u32
+    acc = acc_ref[...]  # [k+1, B, N] u32 (plane-major)
 
     # ---- 1. barrel negacyclic rotation by per-sample exponent a in [0, 2N)
-    a = a_ref[step]  # [B] int32 (leading-dim dynamic index)
-    coeff = jax.lax.broadcasted_iota(jnp.int32, (batch, k1, n), 2)
+    a = a_ref[step]  # [B, 1] int32 (2-D tile; see layout notes)
+    coeff = jax.lax.broadcasted_iota(jnp.int32, (k1, batch, n), 2)
     rot = acc
     bits = (2 * n - 1).bit_length()
     for kb in range(bits):
@@ -62,8 +73,8 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, *, params: TfheParams, batc
         else:
             r = pltpu.roll(rot, s, 2)
             rolled = jnp.where(coeff < s, -r, r)
-        take = (((a >> kb) & 1) == 1)[:, None, None]
-        rot = jnp.where(take, rolled, rot)
+        bit = jax.lax.broadcast_in_dim((a >> kb) & 1, (k1, batch, n), (1, 2))
+        rot = jnp.where(bit == 1, rolled, rot)
 
     # ---- 2. exact signed decomposition of diff (carry chain, MSB-first)
     diff = rot - acc
@@ -84,7 +95,7 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, *, params: TfheParams, batc
         carry = cm >> jnp.uint32(dp.log_base - 1)
         digs.append(res)
     digs.reverse()
-    digs = digs[:levels]  # levels x [B, k+1, N] u32 wrapping digits
+    digs = digs[:levels]  # levels x [k+1, B, N] u32 wrapping digits
     # sign-extend to int8 via (log_base+2)-bit trick
     sb = dp.log_base + 2
     m = jnp.uint32((1 << sb) - 1)
@@ -95,13 +106,16 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, *, params: TfheParams, batc
     ]
 
     # ---- 3+4. per-row Toeplitz contraction on the MXU, accumulate delta
-    for col in range(k1):
-        acc_i32 = [jnp.zeros((batch, n), jnp.int32) for _ in range(NUM_LIMBS)]
-        for poly in range(k1):
-            for j in range(levels):
-                r = poly * levels + j
-                d = digs8[j][:, poly, :]  # [B, N] int8
-                g = bk_ref[r, col : col + 1, :]  # [1, N] u32 (2-D for Mosaic)
+    planes = [
+        [jnp.zeros((batch, n), jnp.int32) for _ in range(NUM_LIMBS)]
+        for _ in range(k1)
+    ]
+    for poly in range(k1):
+        for j in range(levels):
+            d = digs8[j][poly]  # [B, N] int8
+            for col in range(k1):
+                row = (poly * levels + j) * k1 + col  # canonical GGSW order
+                g = bk_step[row : row + 1, :]  # [1, N] (array slice, static)
                 g_ext = jnp.concatenate([g, -g], axis=1)  # sign in u32
                 base = jnp.broadcast_to(g_ext, (n, 2 * n))
                 circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
@@ -110,33 +124,43 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, *, params: TfheParams, batc
                     limb = ((w >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)).astype(
                         jnp.int32
                     ) - 128
-                    acc_i32[l] += jnp.dot(
+                    planes[col][l] += jnp.dot(
                         d, limb.astype(jnp.int8), preferred_element_type=jnp.int32
                     )
+    for col in range(k1):
         delta = jnp.zeros((batch, n), jnp.uint32)
         for l in range(NUM_LIMBS):
-            delta = delta + (acc_i32[l].astype(jnp.uint32) << jnp.uint32(8 * l))
-        acc_ref[:, col, :] = acc[:, col, :] + delta
+            delta = delta + (planes[col][l].astype(jnp.uint32) << jnp.uint32(8 * l))
+        acc_ref[col] = acc[col] + delta
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
 def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False):
-    """acc0 u32[B, k+1, N], bk u32[n, R, k+1, N], a_hat int32[n, B] -> final acc."""
+    """acc0 u32[B, k+1, N], bk u32[n, R, k+1, N], a_hat int32[n, B] -> final acc.
+
+    The VMEM-resident working set is acc + digits + one double-buffered BK
+    block: ~(k+1)*B*N*(4 + levels) bytes, so B<=256 at default_128 (N=512,
+    k=2, l=6).  Larger batches should tile at the caller.
+    """
     batch, k1, n = acc0.shape
     steps, r_dim = bk_u32.shape[0], bk_u32.shape[1]
-    return pl.pallas_call(
+    acc0_planes = jnp.swapaxes(acc0, 0, 1)  # [k+1, B, N]
+    a_hat2 = a_hat[..., None]  # [n, B, 1]: kernel needs a 2-D per-step tile
+    bk_flat = bk_u32.reshape(steps, r_dim * k1, n)  # rows (r, col) flattened
+    out = pl.pallas_call(
         functools.partial(_kernel, params=params, batch=batch),
         grid=(steps,),
         in_specs=[
             # exponents resident whole (n*B int32, <1MB); BK streamed per step
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, k1, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_dim, k1, n), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1, batch, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_dim * k1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (batch, k1, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (k1, batch, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, k1, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((k1, batch, n), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -146,4 +170,5 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False)
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a_hat, acc0, bk_u32)
+    )(a_hat2, acc0_planes, bk_flat)
+    return jnp.swapaxes(out, 0, 1)

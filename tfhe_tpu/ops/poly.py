@@ -218,6 +218,42 @@ def ep_contract_matmul(digits_i8, bk_u32) -> jnp.ndarray:
     return acc.reshape(b, -1, n)
 
 
+def sign_toeplitz_u32_cols(p_u32, o_start, n_cols: int) -> jnp.ndarray:
+    """Column slice of ``sign_toeplitz_u32``: T[m, oo] = +-p[(o-m)%N] for
+    o = o_start+oo, oo in [0, n_cols).  ``o_start`` may be traced (it is the
+    shard offset in the coefficient-sharded external product)."""
+    p = jnp.asarray(p_u32, jnp.uint32)
+    n = p.shape[-1]
+    m = jnp.arange(n)[:, None]
+    o = jnp.asarray(o_start, jnp.int32) + jnp.arange(n_cols, dtype=jnp.int32)[None, :]
+    t = jnp.take(p, (o - m) % n, axis=-1)
+    return jnp.where(m <= o, t, -t)
+
+
+def bk_to_matmul_w_cols(bk_u32, o_start, n_cols: int) -> jnp.ndarray:
+    """Column-sliced Toeplitz weights int8[R*N(m), C*4*n_cols(o)] — the local
+    shard of ``bk_to_matmul_w`` for output coefficients [o_start, o_start+n_cols).
+    Needs the FULL key rows (every output coefficient touches every input
+    coefficient of g), so the key stays replicated and only compute shards."""
+    t = sign_toeplitz_u32_cols(bk_u32, o_start, n_cols)  # [R, C, N(m), cols]
+    limbs = to_signed_limbs(t)  # [R, C, m, cols, L]
+    limbs = jnp.moveaxis(limbs, -1, -2)  # [R, C, m, L, cols]
+    limbs = jnp.swapaxes(limbs, 1, 2)  # [R, m, C, L, cols]
+    r, c, n = bk_u32.shape
+    return limbs.reshape(r * n, c * NUM_LIMBS * n_cols)
+
+
+def ep_contract_matmul_cols(digits_i8, bk_u32, o_start, n_cols: int) -> jnp.ndarray:
+    """Coefficient shard of ``ep_contract_matmul``: int32[B, C*4, n_cols]
+    limb accumulators for output coefficients [o_start, o_start+n_cols)."""
+    b = digits_i8.shape[0]
+    r, n = digits_i8.shape[-2:]
+    w = bk_to_matmul_w_cols(bk_u32, o_start, n_cols)
+    flat = digits_i8.reshape(b, r * n)
+    acc = jnp.matmul(flat, w, preferred_element_type=jnp.int32)
+    return acc.reshape(b, -1, n_cols)
+
+
 def ep_combine(acc_i32, k_plus_1: int) -> jnp.ndarray:
     """int32[B, C*4, N] limb accumulators -> u32[B, C, N] wrapping GLWE delta."""
     b, f, n = acc_i32.shape

@@ -34,6 +34,7 @@ from tfhe_tpu.ops.poly import (
     ep_combine_planes,
     ep_contract_conv,
     ep_contract_matmul,
+    ep_contract_matmul_cols,
     monomial_mul,
 )
 from tfhe_tpu.ops.torus import NUM_LIMBS, combine_limb_accs, switch_modulus, u32
@@ -42,7 +43,7 @@ from tfhe_tpu.params import TfheParams
 
 
 def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
-                        impl: str, model_axis: str | None):
+                        impl: str, model_axis: str | None, model_n: int = 1):
     """Local shard of the CMUX scan; BK arrives row-sharded, digits are sliced
     to the local rows and partial int32 accumulators are psum'd per step."""
     k = params.glwe_dimension
@@ -81,6 +82,36 @@ def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
         xs = (jnp.zeros((n_dim, 0), jnp.int8), bk_m, a_hat)
         acc, _ = lax.scan(step_p, acc0, xs)
         return jnp.swapaxes(acc, 0, 1)
+
+    if impl == "coeffs":
+        # SP analog (SURVEY.md section 2.2 row 3): shard the N OUTPUT
+        # COEFFICIENTS of the contraction over ``model``.  The key stays
+        # replicated (every output coefficient reads every coefficient of g);
+        # each shard builds only its column slice of the sign-Toeplitz operand
+        # and the partial deltas are reassembled with an exact all_gather over
+        # the coefficient axis — the TFHE counterpart of sequence-parallel
+        # activation gathers.
+        n_deg = params.degree
+        chunk = n_deg // model_n if model_axis else n_deg
+
+        def step_c(acc, xs):
+            _, bkm_i, a_i = xs
+            rot = mglwe.mul_monomial(acc, a_i)
+            digits = mglwe.decompose(rot - acc, params.pbs_decomposer)
+            if model_axis:
+                raw_local = ep_contract_matmul_cols(
+                    digits, bkm_i, shard * chunk, chunk
+                )
+                raw = lax.all_gather(
+                    raw_local, model_axis, axis=-1, tiled=True
+                )
+            else:
+                raw = ep_contract_matmul(digits, bkm_i)
+            return acc + ep_combine(raw, k + 1), None
+
+        xs = (jnp.zeros((n_dim, 0), jnp.int8), bk_m, a_hat)
+        acc, _ = lax.scan(step_c, acc0, xs)
+        return acc
 
     def step(acc, xs):
         bkc_i, bkm_i, a_i = xs
@@ -126,10 +157,12 @@ def _key_switch_local(params: TfheParams, ct, ksk_mat_local, model_axis):
     return out.at[..., -1].add(ct[..., from_n])
 
 
-def _gate_local(params, impl, model_axis, tv_encoded, ct0, ct1, bk_c, bk_m, ksk_mat):
+def _gate_local(params, impl, model_axis, model_n, tv_encoded,
+                ct0, ct1, bk_c, bk_m, ksk_mat):
     ct_in = mlwe.add(mlwe.scalar_mul(ct1, 2), ct0)
     approx = switch_modulus(ct_in, params.log_q, params.log_degree + 1)
-    acc = _blind_rotate_local(params, approx, bk_c, bk_m, tv_encoded, impl, model_axis)
+    acc = _blind_rotate_local(params, approx, bk_c, bk_m, tv_encoded, impl,
+                              model_axis, model_n)
     from tfhe_tpu.models.bootstrap import sample_extract0
 
     extracted = sample_extract0(acc)
@@ -157,15 +190,24 @@ def make_sharded_gate(
 
     rows = (params.glwe_dimension + 1) * params.pbs_decomposer.levels
     if use_model_axis:
-        assert rows % model_n == 0, (rows, model_n)
+        if impl == "coeffs":
+            assert params.degree % model_n == 0, (params.degree, model_n)
+        else:
+            assert rows % model_n == 0, (rows, model_n)
         k_rows = params.glwe_dimension * params.degree * params.ks_decomposer.levels
         assert k_rows % model_n == 0, (k_rows, model_n)
 
-    bk_c_spec = P(None, None, MODEL_AXIS, None) if use_model_axis else P()
-    bk_m_spec = P(None, MODEL_AXIS, None, None) if use_model_axis else P()
+    # the coefficient-sharded EP needs the FULL key rows on every shard (and
+    # never touches the conv kernel)
+    if impl == "coeffs":
+        bk_c_spec = P()
+        bk_m_spec = P()
+    else:
+        bk_c_spec = P(None, None, MODEL_AXIS, None) if use_model_axis else P()
+        bk_m_spec = P(None, MODEL_AXIS, None, None) if use_model_axis else P()
     ksk_spec = P(MODEL_AXIS, None) if use_model_axis else P()
 
-    f = partial(_gate_local, params, impl, model_axis, tv)
+    f = partial(_gate_local, params, impl, model_axis, model_n if use_model_axis else 1, tv)
     sharded = jax.shard_map(
         f,
         mesh=mesh,
