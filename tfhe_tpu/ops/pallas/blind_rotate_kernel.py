@@ -1,27 +1,34 @@
 """Fully-fused Pallas blind rotation: the whole CMUX loop in one kernel.
 
-One ``pallas_call`` with grid=(n,) runs all n blind-rotation steps
-(src/bootstrapping.rs:90-105) with the accumulator RESIDENT IN VMEM for the
-entire rotation; only the bootstrapping key streams from HBM (pipelined block
-DMA, ~0.6MB/step).  Per grid step, entirely on-chip:
+One ``pallas_call`` with grid=(n_steps, batch_tiles) runs all n blind-rotation
+steps (src/bootstrapping.rs:90-105) with the accumulator RESIDENT IN VMEM for
+the entire rotation; only the bootstrapping key streams from HBM (pipelined
+block DMA, ~0.1MB/step).  Per step, entirely on-chip:
 
-  1. per-sample negacyclic rotation acc * X^{a_i} — barrel shifter over
-     log2(2N) static lane-rolls selected by exponent bits (VPU);
-  2. diff = rot - acc; exact carry-chain signed decomposition into
-     R=(k+1)*levels int8 digit rows (VPU);
-  3. for each GGSW row r: the [N, N] sign-twisted Toeplitz operand is built
-     in VMEM by a single strided ``pltpu.roll`` of the negacyclically
-     extended row [g, -g] (sign applied in u32 pre-limb-split), then peeled
-     into 4 balanced int8 limbs and contracted on the MXU
-     (int8 x int8 -> int32);
-  4. limb recombination (wrapping shifts) and acc += delta (VPU).
+  1. (first batch tile only) the step's GGSW rows are expanded into
+     sign-twisted Toeplitz operands — one strided ``pltpu.roll`` of the
+     negacyclically extended row [g, -g] per row (sign applied in u32 BEFORE
+     the signed-limb split, which cannot negate -128), peeled into 4 balanced
+     int8 limb planes stored in a VMEM scratch shared by every batch tile.
+     This is the B-independent VPU cost of the step; building it once per
+     step (not once per tile) is what makes large batches profitable;
+  2. per-sample negacyclic rotation acc * X^{a_i} — barrel shifter over
+     log2(2N) static lane-rolls selected by exponent bits (VPU), one
+     [bt, N] plane at a time;
+  3. diff = rot - acc; exact carry-chain signed decomposition into
+     R=(k+1)*levels int8 digit planes (VPU), keeping only the top `levels`
+     digits (int8) live;
+  4. column-outer contraction against the scratch Toeplitz planes on the MXU
+     (int8 x int8 -> int32), limb recombination (wrapping shifts) and
+     acc += delta (VPU).
 
-Layout notes (Mosaic): everything lives plane-major — acc [k+1, B, N],
-digits [levels, k+1, B, N] — so that only the LAST TWO dims (B, N) are
-hardware-tiled and every small static index (poly, level, column) hits an
-untiled leading dim.  Slicing a size-3 tiled sublane dim is rejected by
-Mosaic ("slice shape must be aligned to tiling"), and 1-D -> 3-D shape casts
-are unsupported, so per-sample exponents arrive as [n, B, 1] 2-D tiles.
+Layout notes (Mosaic): everything is addressed through UNTILED leading dims —
+acc [T, k+1, bt, N], Toeplitz scratch [R*(k+1)*4, N, N], exponents
+[n*T, bt, 1] — so only the last two dims of any indexed array are
+hardware-tiled.  Slicing a size-3 tiled sublane dim is rejected by Mosaic
+("slice shape must be aligned to tiling"), 1-D -> 3-D shape casts are
+unsupported, and ``dynamic_rotate`` exists only for 32-bit data (the
+circulant is rolled in u32, then limb-peeled).
 
 Exactly reproduces the reference CMUX semantics: acc += EP(digits(rot-acc))
 == cmux(BK_i, acc, rot) (src/ggsw.rs:164-178).  Bit-exact vs the XLA
@@ -42,127 +49,158 @@ from tfhe_tpu.params import TfheParams
 NUM_LIMBS = 4
 
 
-def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, *, params: TfheParams,
-            batch: int):
+def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
+            params: TfheParams, bt: int, n_tiles: int):
     n = params.degree
     k1 = params.glwe_dimension + 1
     dp = params.pbs_decomposer
     levels = dp.levels
+    n_rows = k1 * levels * k1  # GGSW rows x columns, flattened
 
     step = pl.program_id(0)
-    # whole step block as one array load: [R*(k+1), N] u32 (~110KB).  The BK
-    # arrives row-flattened — a [1, R, k+1, N] block would put k+1=3 on a
-    # tiled sublane dim, which Mosaic cannot slice (pads 3 -> 4).
-    bk_step = bk_full_ref[0]
+    tile = pl.program_id(1)
 
     @pl.when(step == 0)
     def _():
-        acc_ref[...] = acc_in_ref[...]
+        acc_ref[tile] = acc_in_ref[tile]
 
-    acc = acc_ref[...]  # [k+1, B, N] u32 (plane-major)
+    # ---- 1. expand this step's GGSW rows into int8 Toeplitz limb planes,
+    # once per step (first tile), shared by all batch tiles via scratch.
+    @pl.when(tile == 0)
+    def _():
+        bk_step = bk_full_ref[0]  # [R*(k+1), N] u32, row-flattened
+        for row in range(n_rows):
+            g = bk_step[row : row + 1, :]  # [1, N] (static sublane slice)
+            g_ext = jnp.concatenate([g, -g], axis=1)  # sign in u32
+            base = jnp.broadcast_to(g_ext, (n, 2 * n))
+            # one strided roll builds the whole [N, 2N] circulant; Mosaic
+            # only implements dynamic_rotate on 32-bit data, so the roll
+            # stays in u32 and the 4 balanced int8 limbs are peeled after
+            circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
+            w = circ[:, :n] + jnp.uint32(0x80808080)
+            for l in range(NUM_LIMBS):
+                limb = ((w >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32
+                ) - 128
+                w_ref[row * NUM_LIMBS + l] = limb.astype(jnp.int8)
 
-    # ---- 1. barrel negacyclic rotation by per-sample exponent a in [0, 2N)
-    a = a_ref[step]  # [B, 1] int32 (2-D tile; see layout notes)
-    coeff = jax.lax.broadcasted_iota(jnp.int32, (k1, batch, n), 2)
-    rot = acc
+    acc = acc_ref[tile]  # [k+1, bt, N] u32 (plane-major)
+    a = a_ref[step * n_tiles + tile]  # [bt, 1] int32 (2-D tile)
+    coeff = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
     bits = (2 * n - 1).bit_length()
-    for kb in range(bits):
-        s = 1 << kb
-        if s >= n:
-            rolled = -rot
-        else:
-            r = pltpu.roll(rot, s, 2)
-            rolled = jnp.where(coeff < s, -r, r)
-        bit = jax.lax.broadcast_in_dim((a >> kb) & 1, (k1, batch, n), (1, 2))
-        rot = jnp.where(bit == 1, rolled, rot)
-
-    # ---- 2. exact signed decomposition of diff (carry chain, MSB-first)
-    diff = rot - acc
     ig = dp.ignored_bits
-    if ig:
-        msb = (diff & jnp.uint32((1 << ig) - 1)) >> jnp.uint32(ig - 1)
-        val = ((diff >> jnp.uint32(ig)) + msb) << jnp.uint32(ig)
-    else:
-        val = diff
     base_mask = jnp.uint32((1 << dp.log_base) - 1)
     half = jnp.uint32(1 << (dp.log_base - 1))
-    carry = jnp.zeros_like(val)
-    digs = []
-    for l in range(dp.l_full):
-        res = ((val >> jnp.uint32(dp.log_base * l)) & base_mask) + carry
-        cm = res & half
-        res = res - (cm << jnp.uint32(1))
-        carry = cm >> jnp.uint32(dp.log_base - 1)
-        digs.append(res)
-    digs.reverse()
-    digs = digs[:levels]  # levels x [k+1, B, N] u32 wrapping digits
-    # sign-extend to int8 via (log_base+2)-bit trick
+    # sign-extension constants for the (log_base+2)-bit int8 trick
     sb = dp.log_base + 2
-    m = jnp.uint32((1 << sb) - 1)
+    m8 = jnp.uint32((1 << sb) - 1)
     top = jnp.uint32(1 << (sb - 1))
-    digs8 = [
-        ((d & m).astype(jnp.int32) - 2 * (d & top).astype(jnp.int32)).astype(jnp.int8)
-        for d in digs
-    ]
 
-    # ---- 3+4. per-row Toeplitz contraction on the MXU, accumulate delta
-    planes = [
-        [jnp.zeros((batch, n), jnp.int32) for _ in range(NUM_LIMBS)]
-        for _ in range(k1)
-    ]
+    # ---- 2+3. per-poly rotation and decomposition.  Processing one [bt, N]
+    # plane at a time (instead of the whole [k+1, bt, N] block) keeps the u32
+    # barrel-shifter/carry-chain intermediates' live set 3x smaller — only
+    # the final int8 digit planes survive the loop.
+    digs8 = [[None] * levels for _ in range(k1)]
     for poly in range(k1):
-        for j in range(levels):
-            d = digs8[j][poly]  # [B, N] int8
-            for col in range(k1):
-                row = (poly * levels + j) * k1 + col  # canonical GGSW order
-                g = bk_step[row : row + 1, :]  # [1, N] (array slice, static)
-                g_ext = jnp.concatenate([g, -g], axis=1)  # sign in u32
-                base = jnp.broadcast_to(g_ext, (n, 2 * n))
-                circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
-                w = circ[:, :n] + jnp.uint32(0x80808080)
-                for l in range(NUM_LIMBS):
-                    limb = ((w >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)).astype(
-                        jnp.int32
-                    ) - 128
-                    planes[col][l] += jnp.dot(
-                        d, limb.astype(jnp.int8), preferred_element_type=jnp.int32
-                    )
+        accp = acc[poly]  # [bt, N]
+        # barrel negacyclic rotation by per-sample exponent a in [0, 2N)
+        rot = accp
+        for kb in range(bits):
+            s = 1 << kb
+            if s >= n:
+                rolled = -rot
+            else:
+                r = pltpu.roll(rot, s, 1)
+                rolled = jnp.where(coeff < s, -r, r)
+            rot = jnp.where(((a >> kb) & 1) == 1, rolled, rot)
+        # exact signed decomposition of diff (carry chain, MSB-first)
+        diff = rot - accp
+        if ig:
+            msb = (diff & jnp.uint32((1 << ig) - 1)) >> jnp.uint32(ig - 1)
+            val = ((diff >> jnp.uint32(ig)) + msb) << jnp.uint32(ig)
+        else:
+            val = diff
+        carry = jnp.zeros_like(val)
+        kept = []  # low->high; only the top `levels` digits are stored
+        for l in range(dp.l_full):
+            res = ((val >> jnp.uint32(dp.log_base * l)) & base_mask) + carry
+            cm = res & half
+            res = res - (cm << jnp.uint32(1))
+            carry = cm >> jnp.uint32(dp.log_base - 1)
+            if l >= dp.l_full - levels:
+                kept.append(res)
+        kept.reverse()  # MSB-first, matching the reference truncation
+        for j, d in enumerate(kept):
+            digs8[poly][j] = (
+                (d & m8).astype(jnp.int32) - 2 * (d & top).astype(jnp.int32)
+            ).astype(jnp.int8)
+
+    # ---- 4. column-outer Toeplitz contraction on the MXU: only one column's
+    # 4 limb accumulators are live at a time; each column's delta is
+    # recombined and folded into acc before the next column starts.
+    new_planes = []
     for col in range(k1):
-        delta = jnp.zeros((batch, n), jnp.uint32)
+        acc4 = [jnp.zeros((bt, n), jnp.int32) for _ in range(NUM_LIMBS)]
+        for poly in range(k1):
+            for j in range(levels):
+                d = digs8[poly][j]  # [bt, N] int8
+                row = (poly * levels + j) * k1 + col  # canonical GGSW order
+                for l in range(NUM_LIMBS):
+                    acc4[l] += jnp.dot(
+                        d,
+                        w_ref[row * NUM_LIMBS + l],
+                        preferred_element_type=jnp.int32,
+                    )
+        delta = jnp.zeros((bt, n), jnp.uint32)
         for l in range(NUM_LIMBS):
-            delta = delta + (planes[col][l].astype(jnp.uint32) << jnp.uint32(8 * l))
-        acc_ref[col] = acc[col] + delta
+            delta = delta + (acc4[l].astype(jnp.uint32) << jnp.uint32(8 * l))
+        new_planes.append(acc[col] + delta)
+    acc_ref[tile] = jnp.stack(new_planes)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
-def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False):
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "batch_tile"))
+def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
+                       batch_tile: int | None = None):
     """acc0 u32[B, k+1, N], bk u32[n, R, k+1, N], a_hat int32[n, B] -> final acc.
 
-    The VMEM-resident working set is acc + digits + one double-buffered BK
-    block: ~(k+1)*B*N*(4 + levels) bytes, so B<=256 at default_128 (N=512,
-    k=2, l=6).  Larger batches should tile at the caller.
+    The whole batch stays VMEM-resident ([T, k+1, bt, N] in/out blocks) and
+    the Toeplitz scratch is R*(k+1)*4*N*N int8 (~57MB at default_128), so
+    B<=1024 fits the v5e's 128MB VMEM at bt=256.  Bigger batches should vmap
+    or split at the caller.
     """
     batch, k1, n = acc0.shape
     steps, r_dim = bk_u32.shape[0], bk_u32.shape[1]
-    acc0_planes = jnp.swapaxes(acc0, 0, 1)  # [k+1, B, N]
-    a_hat2 = a_hat[..., None]  # [n, B, 1]: kernel needs a 2-D per-step tile
+    bt = batch_tile or min(batch, 256)
+    assert batch % bt == 0, (batch, bt)
+    n_tiles = batch // bt
+
+    # [T, k+1, bt, N]: batch-tile on an untiled leading dim
+    acc0_tiles = jnp.swapaxes(acc0.reshape(n_tiles, bt, k1, n), 1, 2)
+    # [n*T, bt, 1]: per-(step, tile) exponents as 2-D tiles
+    a_tiles = a_hat.reshape(steps * n_tiles, bt, 1)
     bk_flat = bk_u32.reshape(steps, r_dim * k1, n)  # rows (r, col) flattened
     out = pl.pallas_call(
-        functools.partial(_kernel, params=params, batch=batch),
-        grid=(steps,),
+        functools.partial(_kernel, params=params, bt=bt, n_tiles=n_tiles),
+        grid=(steps, n_tiles),
         in_specs=[
-            # exponents resident whole (n*B int32, <1MB); BK streamed per step
+            # exponents resident whole (n*B int32, ~3MB); BK streamed per step
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((k1, batch, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_dim * k1, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((n_tiles, k1, bt, n), lambda s, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_dim * k1, n), lambda s, t: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (k1, batch, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (n_tiles, k1, bt, n), lambda s, t: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((k1, batch, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k1, bt, n), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((r_dim * k1 * NUM_LIMBS, n, n), jnp.int8),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * batch * r_dim * k1 * n * n * NUM_LIMBS,
@@ -170,5 +208,5 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False)
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a_hat2, acc0_planes, bk_flat)
-    return jnp.swapaxes(out, 0, 1)
+    )(a_tiles, acc0_tiles, bk_flat)
+    return jnp.swapaxes(out, 1, 2).reshape(batch, k1, n)
