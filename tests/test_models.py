@@ -179,6 +179,25 @@ class TestBitExactBootstrap:
             )[0]
             assert np.array_equal(ours, want), (impl, m)
 
+    def test_full_pbs_bit_exact_fused_interpret(self, shared):
+        """Whole-scan fused Pallas kernel (interpret mode on CPU) is
+        bit-identical to the golden pipeline."""
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(20)
+        p = TEST
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (2, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        cts = np.stack([
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
+            for m in range(2)
+        ])
+        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
+                         for i in range(2)])
+        ours = np.asarray(mboot.pbs(p, cts, server, tv_enc, impl="fused_interpret"))
+        assert np.array_equal(ours, want)
+
     def test_full_pbs_bit_exact_pallas_interpret(self, shared):
         """Pallas backend (interpret mode on CPU) is bit-identical too —
         covers the level-major digit rows + bk_lm permutation + VMEM-layout
@@ -196,6 +215,69 @@ class TestBitExactBootstrap:
             mboot.pbs(p, ct[None], server, tv_enc, impl="pallas_interpret")
         )[0]
         assert np.array_equal(ours, want)
+
+
+class TestSampleExtractGeneral:
+    def test_arbitrary_index_vs_golden(self, shared):
+        rng = np.random.default_rng(17)
+        p = TEST
+        ct = rnd_u32(rng, (2, p.glwe_dimension + 1, p.degree))
+        for idx in (0, 1, 17, p.degree // 2, p.degree - 1):
+            ours = np.asarray(mboot.sample_extract(ct, idx))
+            for i in range(2):
+                want = g.sample_extract(ct[i], p.glwe_params(), idx)
+                assert np.array_equal(ours[i], want), idx
+
+    def test_batched_per_sample_indices(self, shared):
+        rng = np.random.default_rng(18)
+        p = TEST
+        ct = rnd_u32(rng, (3, p.glwe_dimension + 1, p.degree))
+        idxs = np.array([3, 500, 0], dtype=np.int32)
+        ours = np.asarray(mboot.sample_extract(ct, idxs))
+        for i in range(3):
+            want = g.sample_extract(ct[i], p.glwe_params(), int(idxs[i]))
+            assert np.array_equal(ours[i], want), i
+
+
+class TestClearSimulationOracle:
+    """Port of the reference's clear-simulation oracle
+    (src/bootstrapping.rs:232-287): re-run the blind rotation in plaintext
+    with the secret key (explicit mod-2N index tracking) and assert the
+    homomorphic accumulator decrypts to exactly the predicted rotated test
+    vector plus noise below Delta/2 — pinpointing sign/index bugs directly
+    instead of as opaque decode failures."""
+
+    @pytest.mark.parametrize("impl", ["conv", "matmul"])
+    def test_blind_rotate_matches_clear_simulation(self, shared, impl):
+        from tfhe_tpu.ops.torus import switch_modulus as jsm, u32 as ju32
+
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(19)
+        p = TEST
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        for m in range(1 << p.log_p):
+            a = rnd_u32(rng, (p.lwe_dimension,))
+            e = gaussian_u32(rng, p.lwe_std_dev, ())
+            ct = g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a, e)
+            predicted = g.blind_rotate_in_clear(ct, d["lwe_sk"], tv_clear, p)
+            approx = np.asarray(jsm(ju32(ct[None]), p.log_q, p.log_degree + 1))
+            acc = np.asarray(
+                mboot.blind_rotate(p, approx, server, tv_enc, impl=impl)
+            )[0]
+            phase = g.decrypt_glwe(d["glwe_sk"], acc)
+            diff = (phase - predicted).astype(np.int64)
+            diff = np.where(diff >= 1 << 31, diff - (1 << 32), diff)
+            assert np.abs(diff).max() < p.delta // 2, (impl, m)
+            # and the predicted coefficient 0 decodes to the identity LUT value
+            ext = g.sample_extract(acc, p.glwe_params(), 0)
+            got = int(g.lwe_decode(g.decrypt_lwe(flat_sk(d), ext), p))
+            pred = int(g.lwe_decode(predicted[0], p))
+            assert got == pred, (impl, m)
+
+
+def flat_sk(d):
+    return g.flatten_glwe_sk(d["glwe_sk"])
 
 
 class TestEndToEnd:

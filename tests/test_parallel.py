@@ -69,14 +69,28 @@ def test_model_sharded_matmul_impl(keys, cts, reference_out):
     assert np.array_equal(out, reference_out)
 
 
-def test_model_axis_3way(keys, cts, reference_out):
-    # R=18 and K=5120 are divisible by 2 but a 3-way model axis must be
-    # rejected for K (5120 % 3 != 0)
-    mesh = make_mesh(batch=4, model=2, devices=jax.devices()[:8])
-    # sanity: a model size that does not divide R fails fast
-    bad = TEST.replace(name="bad")
+def test_model_axis_divisibility_guards():
+    """Mesh/model-axis sizes that do not divide the BK row count R=18 (or the
+    KSK row count) must be rejected at gate-construction time, not fail
+    opaquely inside the scan."""
+    # model=8 does not divide R=18 -> reject
     with pytest.raises(AssertionError):
-        make_sharded_gate(make_mesh(batch=1, model=8), bad, "nand")
+        make_sharded_gate(make_mesh(batch=1, model=8), TEST, "nand")
+    # model=4 does not divide R=18 either (18 % 4 != 0) -> reject
+    with pytest.raises(AssertionError):
+        make_sharded_gate(make_mesh(batch=2, model=4), TEST, "nand")
+
+
+def test_model_axis_3way_not_dividing_coeffs():
+    """The coefficient-sharded (SP analog) gate requires model | N."""
+    bad = TEST.replace(log_degree=9)  # N=512; model=8 divides -> accepted
+    make_sharded_gate(make_mesh(batch=1, model=8), bad, "nand", impl="coeffs")
+    with pytest.raises(AssertionError):
+        # N=64 with model=8 divides; shrink to N=4 < 8 -> rejected
+        make_sharded_gate(
+            make_mesh(batch=1, model=8), TEST.replace(log_degree=1), "nand",
+            impl="coeffs",
+        )
 
 
 @pytest.mark.parametrize("model", [2, 4])
@@ -128,31 +142,16 @@ def test_pipeline_parallel_bit_exact(keys, cts, shape, m_micro):
 
 def test_pallas_sharded_interpret_small():
     """Pallas backend under shard_map (model-sharded rows + psum) matches the
-    single-device conv path bit-exactly.  Runs the kernel in interpret mode on
-    CPU via a monkeypatched interpret default."""
-    import tfhe_tpu.ops.pallas.ep_kernel as epk
-    import functools as _ft
-
-    orig = epk.ep_contract_pallas_rbn
-
-    def interp(digits, bk, interpret=False):
-        return orig(digits, bk, interpret=True)
-
-    epk.ep_contract_pallas_rbn = interp
-    import tfhe_tpu.parallel.sharded as shd
-    shd.ep_contract_pallas_rbn = interp
-    try:
-        ck, sk = tfhe.keygen(TEST, jax.random.key(7))
-        rng = np.random.default_rng(8)
-        lhs = rng.integers(0, 2, size=4).astype(np.uint32)
-        rhs = rng.integers(0, 2, size=4).astype(np.uint32)
-        ct1 = tfhe.encrypt(ck, lhs, key=1)
-        ct0 = tfhe.encrypt(ck, rhs, key=2)
-        want = np.asarray(tfhe.gates.gate(sk, "nand", ct0, ct1, impl="conv"))
-        mesh = make_mesh(batch=4, model=2)
-        gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="pallas")
-        out = np.asarray(gate_fn(ct0, ct1, sk))
-        assert np.array_equal(out, want)
-    finally:
-        epk.ep_contract_pallas_rbn = orig
-        shd.ep_contract_pallas_rbn = orig
+    single-device conv path bit-exactly, exercising the REAL sharded call path
+    with the kernel in interpret mode (no monkeypatching)."""
+    ck, sk = tfhe.keygen(TEST, jax.random.key(7))
+    rng = np.random.default_rng(8)
+    lhs = rng.integers(0, 2, size=4).astype(np.uint32)
+    rhs = rng.integers(0, 2, size=4).astype(np.uint32)
+    ct1 = tfhe.encrypt(ck, lhs, key=1)
+    ct0 = tfhe.encrypt(ck, rhs, key=2)
+    want = np.asarray(tfhe.gates.gate(sk, "nand", ct0, ct1, impl="conv"))
+    mesh = make_mesh(batch=4, model=2)
+    gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="pallas", interpret=True)
+    out = np.asarray(gate_fn(ct0, ct1, sk))
+    assert np.array_equal(out, want)

@@ -49,6 +49,20 @@ class TestSerialization:
         out = tfhe.gates.nand(back, tfhe.encrypt(ck, bits, key=1), tfhe.encrypt(ck, bits, key=2))
         assert np.array_equal(np.asarray(tfhe.decrypt(ck, out)), 1 - (bits & bits))
 
+    def test_server_key_bmmp_roundtrip(self, tmp_path):
+        """A saved BMMP server key must stay a BMMP key (regression: the
+        first serializer silently dropped bk_bmmp_lm)."""
+        ck, sk = tfhe.keygen(TEST, jax.random.key(6), bmmp=True)
+        p = tmp_path / "sk_bmmp.npz"
+        ser.save_server_key(p, sk)
+        back = ser.load_server_key(p)
+        assert back.bk_bmmp_lm is not None
+        assert np.array_equal(np.asarray(back.bk_bmmp_lm), np.asarray(sk.bk_bmmp_lm))
+        bits = np.array([0, 1], dtype=np.uint32)
+        out = tfhe.gates.gate(back, "nand", tfhe.encrypt(ck, bits, key=3),
+                              tfhe.encrypt(ck, bits, key=4), impl="bmmp_interpret")
+        assert np.array_equal(np.asarray(tfhe.decrypt(ck, out)), 1 - (bits & bits))
+
     def test_ciphertext_roundtrip(self, keys, tmp_path):
         ck, _ = keys
         cts = tfhe.encrypt(ck, np.array([1, 2, 3], np.uint32), key=9)

@@ -511,6 +511,32 @@ def blind_rotate(
     return acc
 
 
+def blind_rotate_in_clear(
+    lwe_ct: np.ndarray,
+    lwe_sk: np.ndarray,
+    test_vector_poly: np.ndarray,
+    tfhe: TfheParams,
+) -> np.ndarray:
+    """Plaintext simulation of the blind rotation (src/bootstrapping.rs:232-287).
+
+    Re-runs the rotation IN CLEAR with the secret key: tracks the accumulated
+    monomial index -b_hat + sum(a_hat_i * s_i) mod 2N explicitly, then applies
+    it as one monomial rotation of the encoded test vector.  The homomorphic
+    accumulator must decrypt to exactly this polynomial plus bounded noise —
+    a transparent oracle that pinpoints sign/index bugs in the rotation
+    instead of surfacing them as opaque decode failures.
+    """
+    glwe_params = tfhe.glwe_params()
+    approx = switch_modulus(_u(lwe_ct), tfhe.log_q, tfhe.log_degree + 1)
+    two_n = 2 * glwe_params.degree
+    index = -int(approx[tfhe.lwe_dimension]) % two_n
+    for i in range(tfhe.lwe_dimension):
+        if int(lwe_sk[i]) == 1:
+            index = (index + int(approx[i])) % two_n
+    v = glwe_encode(_u(test_vector_poly), glwe_params)
+    return poly_mul_monomial(v, index)
+
+
 def bootstrap(
     lwe_ct: np.ndarray,
     bk_ggsw: np.ndarray,

@@ -52,19 +52,33 @@ def resolve_impl(impl: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "conv"
 
 
-def sample_extract0(glwe_ct) -> jnp.ndarray:
-    """Extract coefficient 0 as an LWE of dimension k*N
-    (src/bootstrapping.rs:122-156, specialised to sample_index=0)."""
+def sample_extract(glwe_ct, index=0) -> jnp.ndarray:
+    """Extract coefficient ``index`` as an LWE of dimension k*N
+    (src/bootstrapping.rs:122-156, general form).
+
+    a'[i*N + j] = a_i[(index - j) mod N], negated where j > index (the
+    negacyclic wraparound); b' = b[index].  ``index`` may be a Python int or
+    a traced int32 scalar (broadcastable over the batch).
+    """
     ct = u32(glwe_ct)
     n = ct.shape[-1]
     k = ct.shape[-2] - 1
+    h = jnp.asarray(index, jnp.int32)  # scalar or [batch...]
     a = ct[..., :k, :]
-    idx = (n - jnp.arange(n, dtype=jnp.int32)) & (n - 1)  # j -> (N-j) mod N
+    j = jnp.arange(n, dtype=jnp.int32)
+    idx = ((h[..., None] - j) & (n - 1))[..., None, :]  # [..., 1, N]
     w = jnp.take_along_axis(a, jnp.broadcast_to(idx, a.shape), axis=-1)
-    w = jnp.where(jnp.arange(n) > 0, -w, w)
+    w = jnp.where((j > h[..., None])[..., None, :], -w, w)
     flat = w.reshape(ct.shape[:-2] + (k * n,))
-    b = ct[..., k, 0:1]
+    b = jnp.take_along_axis(
+        ct[..., k, :], jnp.broadcast_to(h[..., None], ct.shape[:-2] + (1,)), axis=-1
+    )
     return jnp.concatenate([flat, b], axis=-1)
+
+
+def sample_extract0(glwe_ct) -> jnp.ndarray:
+    """Coefficient-0 specialisation (the PBS hot path)."""
+    return sample_extract(glwe_ct, 0)
 
 
 def _init_acc(params: TfheParams, approx_ct, tv_encoded):
@@ -176,6 +190,19 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     (the *encoded* test vector, src/bootstrapping.rs:82-86).
     """
     impl = resolve_impl(impl)
+    if impl in ("fused", "fused3", "fused_interpret"):
+        # whole-scan Pallas kernel: acc VMEM-resident for all n steps, BK
+        # streamed per step (ops/pallas/blind_rotate_kernel.py).  ``fused3``
+        # is the truncated-key approximate mode (25% less MXU work; see the
+        # kernel docstring for the noise argument).
+        from tfhe_tpu.ops.pallas.blind_rotate_kernel import blind_rotate_fused
+
+        acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+        return blind_rotate_fused(
+            params, acc0, server_key.bk_u32, a_hat,
+            interpret=(impl == "fused_interpret"),
+            key_limbs=3 if impl == "fused3" else 4,
+        )
     if impl in ("bmmp", "bmmp_interpret"):
         assert server_key.bk_bmmp_lm is not None, "keygen(..., bmmp=True) required"
         return _blind_rotate_bmmp(
@@ -197,8 +224,16 @@ def pbs(params: TfheParams, ct, server_key, tv_encoded, impl: str = "auto"):
 
     ct: u32[B, n+1]; server_key: models.keys.ServerKey; tv_encoded: u32[N].
     """
-    approx = switch_modulus(u32(ct), params.log_q, params.log_degree + 1)
-    acc = blind_rotate(params, approx, server_key, u32(tv_encoded), impl=impl)
-    extracted = sample_extract0(acc)
+    from tfhe_tpu.utils.profiling import scope
+
+    with scope("pbs.mod_switch"):
+        approx = switch_modulus(u32(ct), params.log_q, params.log_degree + 1)
+    with scope("pbs.blind_rotate"):
+        acc = blind_rotate(params, approx, server_key, u32(tv_encoded), impl=impl)
+    with scope("pbs.sample_extract"):
+        extracted = sample_extract0(acc)
     from_n = params.glwe_dimension * params.degree
-    return mks.key_switch(extracted, from_n, params.ks_decomposer, server_key.ksk_mat)
+    with scope("pbs.key_switch"):
+        return mks.key_switch(
+            extracted, from_n, params.ks_decomposer, server_key.ksk_mat
+        )

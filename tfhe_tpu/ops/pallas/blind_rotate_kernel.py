@@ -50,12 +50,13 @@ NUM_LIMBS = 4
 
 
 def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
-            params: TfheParams, bt: int, n_tiles: int):
+            params: TfheParams, bt: int, n_tiles: int, key_limbs: int):
     n = params.degree
     k1 = params.glwe_dimension + 1
     dp = params.pbs_decomposer
     levels = dp.levels
     n_rows = k1 * levels * k1  # GGSW rows x columns, flattened
+    drop = NUM_LIMBS - key_limbs  # low key limbs truncated (0 = exact)
 
     step = pl.program_id(0)
     tile = pl.program_id(1)
@@ -69,23 +70,28 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
     @pl.when(tile == 0)
     def _():
         bk_step = bk_full_ref[0]  # [R*(k+1), N] u32, row-flattened
+        # NB: no extra rounding offset when truncating low limbs — the
+        # balanced split (limbs in [-128,128)) already rounds the dropped
+        # byte to nearest.  Adding +0x80 here biases every kept coefficient
+        # by +128, which amplifies coherently through the mask rows at
+        # decryption (x N/2 via <a,s>) and flips ~3/4 of gate outputs.
         for row in range(n_rows):
             g = bk_step[row : row + 1, :]  # [1, N] (static sublane slice)
             g_ext = jnp.concatenate([g, -g], axis=1)  # sign in u32
             base = jnp.broadcast_to(g_ext, (n, 2 * n))
             # one strided roll builds the whole [N, 2N] circulant; Mosaic
             # only implements dynamic_rotate on 32-bit data, so the roll
-            # stays in u32 and the 4 balanced int8 limbs are peeled after
+            # stays in u32 and the balanced int8 limbs are peeled after
             circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
             w = circ[:, :n] + jnp.uint32(0x80808080)
-            for l in range(NUM_LIMBS):
+            for i, l in enumerate(range(drop, NUM_LIMBS)):
                 limb = ((w >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)).astype(
                     jnp.int32
                 ) - 128
-                w_ref[row * NUM_LIMBS + l] = limb.astype(jnp.int8)
+                w_ref[row * key_limbs + i] = limb.astype(jnp.int8)
 
     acc = acc_ref[tile]  # [k+1, bt, N] u32 (plane-major)
-    a = a_ref[step * n_tiles + tile]  # [bt, 1] int32 (2-D tile)
+    a = a_ref[0, 0]  # [bt, 1] int32 (2-D tile, block-streamed per (step, tile))
     coeff = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
     bits = (2 * n - 1).bit_length()
     ig = dp.ignored_bits
@@ -96,11 +102,15 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
     m8 = jnp.uint32((1 << sb) - 1)
     top = jnp.uint32(1 << (sb - 1))
 
-    # ---- 2+3. per-poly rotation and decomposition.  Processing one [bt, N]
-    # plane at a time (instead of the whole [k+1, bt, N] block) keeps the u32
-    # barrel-shifter/carry-chain intermediates' live set 3x smaller — only
-    # the final int8 digit planes survive the loop.
-    digs8 = [[None] * levels for _ in range(k1)]
+    # ---- 2-4. interleaved per-poly rotation/decomposition (VPU) and MXU
+    # contraction: poly p's matmuls depend only on poly p's digits, so
+    # issuing them immediately lets the scheduler hide poly p+1's barrel
+    # shifter / carry chain under poly p's MXU time (an all-VPU phase
+    # followed by an all-MXU phase has no such overlap).
+    acc4 = [
+        [jnp.zeros((bt, n), jnp.int32) for _ in range(key_limbs)]
+        for _ in range(k1)
+    ]
     for poly in range(k1):
         accp = acc[poly]  # [bt, N]
         # barrel negacyclic rotation by per-sample exponent a in [0, 2N)
@@ -131,60 +141,67 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
                 kept.append(res)
         kept.reverse()  # MSB-first, matching the reference truncation
         for j, d in enumerate(kept):
-            digs8[poly][j] = (
+            d8 = (
                 (d & m8).astype(jnp.int32) - 2 * (d & top).astype(jnp.int32)
             ).astype(jnp.int8)
-
-    # ---- 4. column-outer Toeplitz contraction on the MXU: only one column's
-    # 4 limb accumulators are live at a time; each column's delta is
-    # recombined and folded into acc before the next column starts.
-    new_planes = []
-    for col in range(k1):
-        acc4 = [jnp.zeros((bt, n), jnp.int32) for _ in range(NUM_LIMBS)]
-        for poly in range(k1):
-            for j in range(levels):
-                d = digs8[poly][j]  # [bt, N] int8
+            for col in range(k1):
                 row = (poly * levels + j) * k1 + col  # canonical GGSW order
-                for l in range(NUM_LIMBS):
-                    acc4[l] += jnp.dot(
-                        d,
-                        w_ref[row * NUM_LIMBS + l],
+                for l in range(key_limbs):
+                    acc4[col][l] += jnp.dot(
+                        d8,
+                        w_ref[row * key_limbs + l],
                         preferred_element_type=jnp.int32,
                     )
+    new_planes = []
+    for col in range(k1):
         delta = jnp.zeros((bt, n), jnp.uint32)
-        for l in range(NUM_LIMBS):
-            delta = delta + (acc4[l].astype(jnp.uint32) << jnp.uint32(8 * l))
+        for i, l in enumerate(range(drop, NUM_LIMBS)):
+            delta = delta + (acc4[col][i].astype(jnp.uint32) << jnp.uint32(8 * l))
         new_planes.append(acc[col] + delta)
     acc_ref[tile] = jnp.stack(new_planes)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret", "batch_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret", "batch_tile", "key_limbs")
+)
 def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
-                       batch_tile: int | None = None):
+                       batch_tile: int | None = None, key_limbs: int = NUM_LIMBS):
     """acc0 u32[B, k+1, N], bk u32[n, R, k+1, N], a_hat int32[n, B] -> final acc.
 
     The whole batch stays VMEM-resident ([T, k+1, bt, N] in/out blocks) and
-    the Toeplitz scratch is R*(k+1)*4*N*N int8 (~57MB at default_128), so
-    B<=1024 fits the v5e's 128MB VMEM at bt=256.  Bigger batches should vmap
-    or split at the caller.
+    the Toeplitz scratch is R*(k+1)*key_limbs*N*N int8 (~57MB at default_128
+    with the exact 4-limb key), so B<=2048 fits the 128MB VMEM at bt=256.
+    Bigger batches should vmap or split at the caller.
+
+    ``key_limbs=4`` (default) is the exact mod-2^32 path, bit-identical to
+    the scan backends.  ``key_limbs=3`` truncates the low key byte with
+    rounding — an *approximate* mode cutting MXU work 25%: the truncation
+    noise per bootstrap has std ~= sqrt(722 * R*N * E[d^2] * 2^14/12) ~= 2^20,
+    vs Delta/2 = 2^28 at default_128 — negligible against the scheme's own
+    noise (measured: see ARTIFACTS/default128_check.json).  Not bit-exact to
+    the reference; gate outputs still decode identically.
     """
     batch, k1, n = acc0.shape
     steps, r_dim = bk_u32.shape[0], bk_u32.shape[1]
+    assert 1 <= key_limbs <= NUM_LIMBS
     bt = batch_tile or min(batch, 256)
     assert batch % bt == 0, (batch, bt)
     n_tiles = batch // bt
 
     # [T, k+1, bt, N]: batch-tile on an untiled leading dim
     acc0_tiles = jnp.swapaxes(acc0.reshape(n_tiles, bt, k1, n), 1, 2)
-    # [n*T, bt, 1]: per-(step, tile) exponents as 2-D tiles
-    a_tiles = a_hat.reshape(steps * n_tiles, bt, 1)
+    # [n, T, bt, 1]: per-(step, tile) exponent blocks, DMA'd one per grid step
+    # (a whole-resident [n*T, bt, 1] array lane-pads the size-1 trailing dim
+    # 128x -> 378MB of VMEM at default_128/B=1024; streaming pads one block)
+    a_tiles = a_hat.reshape(steps, n_tiles, bt, 1)
     bk_flat = bk_u32.reshape(steps, r_dim * k1, n)  # rows (r, col) flattened
     out = pl.pallas_call(
-        functools.partial(_kernel, params=params, bt=bt, n_tiles=n_tiles),
+        functools.partial(_kernel, params=params, bt=bt, n_tiles=n_tiles,
+                          key_limbs=key_limbs),
         grid=(steps, n_tiles),
         in_specs=[
-            # exponents resident whole (n*B int32, ~3MB); BK streamed per step
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bt, 1), lambda s, t: (s, t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, k1, bt, n), lambda s, t: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r_dim * k1, n), lambda s, t: (s, 0, 0),
@@ -196,14 +213,14 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, k1, bt, n), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((r_dim * k1 * NUM_LIMBS, n, n), jnp.int8),
+            pltpu.VMEM((r_dim * k1 * key_limbs, n, n), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=116 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * steps * batch * r_dim * k1 * n * n * NUM_LIMBS,
+            flops=2 * steps * batch * r_dim * k1 * n * n * key_limbs,
             bytes_accessed=steps * r_dim * k1 * n * 4,
             transcendentals=0,
         ),

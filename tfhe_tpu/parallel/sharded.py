@@ -43,7 +43,8 @@ from tfhe_tpu.params import TfheParams
 
 
 def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
-                        impl: str, model_axis: str | None, model_n: int = 1):
+                        impl: str, model_axis: str | None, model_n: int = 1,
+                        interpret: bool = False):
     """Local shard of the CMUX scan; BK arrives row-sharded, digits are sliced
     to the local rows and partial int32 accumulators are psum'd per step."""
     k = params.glwe_dimension
@@ -74,7 +75,7 @@ def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
                 digits = lax.dynamic_slice_in_dim(
                     digits, shard * local_r, local_r, axis=0
                 )
-            raw = ep_contract_pallas_rbn(digits, bk_i)
+            raw = ep_contract_pallas_rbn(digits, bk_i, interpret=interpret)
             if model_axis:
                 raw = lax.psum(raw, model_axis)
             return acc + ep_combine_planes(raw), None
@@ -157,12 +158,12 @@ def _key_switch_local(params: TfheParams, ct, ksk_mat_local, model_axis):
     return out.at[..., -1].add(ct[..., from_n])
 
 
-def _gate_local(params, impl, model_axis, model_n, tv_encoded,
+def _gate_local(params, impl, model_axis, model_n, interpret, tv_encoded,
                 ct0, ct1, bk_c, bk_m, ksk_mat):
     ct_in = mlwe.add(mlwe.scalar_mul(ct1, 2), ct0)
     approx = switch_modulus(ct_in, params.log_q, params.log_degree + 1)
     acc = _blind_rotate_local(params, approx, bk_c, bk_m, tv_encoded, impl,
-                              model_axis, model_n)
+                              model_axis, model_n, interpret)
     from tfhe_tpu.models.bootstrap import sample_extract0
 
     extracted = sample_extract0(acc)
@@ -175,12 +176,14 @@ def make_sharded_gate(
     gate: str,
     impl: str = "conv",
     use_model_axis: bool | None = None,
+    interpret: bool = False,
 ) -> callable:
     """Build a jitted sharded gate: (ct0, ct1, server_key) -> ct_out.
 
     Ciphertexts shard over ``batch``; BK/KSK rows shard over ``model`` when the
     mesh has a model axis > 1 (int32 psum per scan step, bit-identical to
-    unsharded execution).
+    unsharded execution).  ``interpret`` runs the Pallas kernel in interpret
+    mode (CPU tests of the real sharded call path).
     """
     model_n = mesh.shape[MODEL_AXIS]
     if use_model_axis is None:
@@ -207,7 +210,8 @@ def make_sharded_gate(
         bk_m_spec = P(None, MODEL_AXIS, None, None) if use_model_axis else P()
     ksk_spec = P(MODEL_AXIS, None) if use_model_axis else P()
 
-    f = partial(_gate_local, params, impl, model_axis, model_n if use_model_axis else 1, tv)
+    f = partial(_gate_local, params, impl, model_axis,
+                model_n if use_model_axis else 1, interpret, tv)
     sharded = jax.shard_map(
         f,
         mesh=mesh,

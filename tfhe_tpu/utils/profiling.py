@@ -14,8 +14,9 @@ import jax
 
 
 def scope(name: str):
-    """Named trace annotation visible in XProf timelines."""
-    return jax.profiler.TraceAnnotation(name)
+    """Named scope: annotates ops traced under jit so the stage shows up in
+    HLO/XProf timelines (used around the PBS stages in models/bootstrap.py)."""
+    return jax.named_scope(name)
 
 
 @contextlib.contextmanager

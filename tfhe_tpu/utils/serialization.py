@@ -51,13 +51,16 @@ def load_client_key(path: str) -> ClientKey:
 
 
 def save_server_key(path: str, sk: ServerKey) -> None:
-    """Canonical u32 tensors only; derived MXU layouts rebuilt on load."""
-    np.savez_compressed(
-        path,
+    """Canonical u32 tensors only; derived MXU layouts rebuilt on load.
+    The optional BMMP key triples ride along when present."""
+    arrays = dict(
         bk_u32=np.asarray(sk.bk_u32),
         ksk_u32=np.asarray(sk.ksk_u32),
         params=np.array(params_to_json(sk.params)),
     )
+    if sk.bk_bmmp_lm is not None:
+        arrays["bk_bmmp_lm"] = np.asarray(sk.bk_bmmp_lm)
+    np.savez_compressed(path, **arrays)
 
 
 def load_server_key(path: str) -> ServerKey:
@@ -75,6 +78,9 @@ def load_server_key(path: str) -> ServerKey:
             ksk_u32=ksk_u32,
             ksk_mat=ksk_to_matmul(ksk_u32),
             params=params,
+            bk_bmmp_lm=(
+                jnp.asarray(z["bk_bmmp_lm"]) if "bk_bmmp_lm" in z else None
+            ),
         )
 
 
