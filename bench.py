@@ -89,6 +89,14 @@ def main():
     keygen_s = time.perf_counter() - t0
     bk_mb = sk.bk_u32.nbytes / 1e6
     log(f"keygen (jitted): {keygen_s:.1f}s  bk={bk_mb:.1f}MB")
+    if impl == "ntt":
+        from tfhe_tpu.models.keys import with_ntt_key
+
+        t0 = time.perf_counter()
+        sk = jax.jit(with_ntt_key)(sk)
+        jax.block_until_ready(sk.bk_ntt)
+        log(f"ntt key prep (jitted): {time.perf_counter()-t0:.1f}s  "
+            f"bk_ntt={sk.bk_ntt.nbytes/1e6:.1f}MB")
 
     tv = jnp.asarray(mtv.gate_test_vector(params, "nand"))
 

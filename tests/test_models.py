@@ -179,6 +179,28 @@ class TestBitExactBootstrap:
             )[0]
             assert np.array_equal(ours, want), (impl, m)
 
+    def test_full_pbs_bit_exact_ntt(self, shared):
+        """Block-NTT backend (ops/ntt.py, impl='ntt') end-to-end: the whole
+        PBS with the NTT-domain-resident key is bit-identical to golden."""
+        from tfhe_tpu.models.keys import with_ntt_key
+
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(21)
+        p = TEST
+        server_ntt = with_ntt_key(server)
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (2, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        cts = np.stack([
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
+            for m in range(2)
+        ])
+        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
+                         for i in range(2)])
+        ours = np.asarray(mboot.pbs(p, cts, server_ntt, tv_enc, impl="ntt"))
+        assert np.array_equal(ours, want)
+
     def test_full_pbs_bit_exact_fused_interpret(self, shared):
         """Whole-scan fused Pallas kernel (interpret mode on CPU) is
         bit-identical to the golden pipeline."""

@@ -155,3 +155,72 @@ def test_pallas_sharded_interpret_small():
     gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="pallas", interpret=True)
     out = np.asarray(gate_fn(ct0, ct1, sk))
     assert np.array_equal(out, want)
+
+
+def test_host_mesh_bit_exact(keys, cts, reference_out):
+    """3-axis (host, batch, model) mesh — ciphertexts shard over
+    (host, batch), keys replicated per host, BK rows sharded over model —
+    is bit-identical to single-device execution."""
+    from tfhe_tpu.parallel.mesh import make_host_mesh
+
+    ck, sk = keys
+    lhs, rhs, ct0, ct1 = cts
+    mesh = make_host_mesh(host=2, batch=2, model=2)
+    gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="conv")
+    out = np.asarray(gate_fn(ct0, ct1, sk))
+    assert np.array_equal(out, reference_out)
+    got = np.asarray(tfhe.decrypt(ck, out))
+    assert np.array_equal(got, 1 - (lhs & rhs))
+
+
+def test_key_placement_policy():
+    """BK placement: replicate under the HBM budget, row-shard over model
+    above it (SURVEY.md section 2.2 row 5)."""
+    from tfhe_tpu.parallel.mesh import make_host_mesh, plan_key_placement
+
+    d128 = get_params("default_128")
+    mesh = make_host_mesh(host=2, batch=2, model=2)
+    pl = plan_key_placement(d128, mesh)  # ~95 MB keys, 4 GB budget
+    assert not pl.shard_bk_rows
+    tight = plan_key_placement(d128, mesh, hbm_bytes=128 << 20, budget_frac=0.25)
+    assert tight.shard_bk_rows
+    assert tight.per_device_key_bytes < pl.per_device_key_bytes
+
+
+def test_pipeline_pallas_interpret_bit_exact(keys, cts):
+    """Pipeline stages running the Pallas contraction (interpret mode) are
+    bit-identical to the single-device conv path."""
+    from tfhe_tpu.parallel.mesh import make_pipeline_mesh
+    from tfhe_tpu.parallel.pipeline import make_pipelined_gate
+
+    ck, sk = keys
+    lhs, rhs, ct0, ct1 = cts
+    m_micro = 2
+    ct0_q = np.stack([np.asarray(ct0)] * m_micro)
+    ct1_q = np.stack([np.asarray(ct1)] * m_micro)
+    want = np.asarray(tfhe.gates.gate(sk, "nand", ct0, ct1, impl="conv"))
+    mesh = make_pipeline_mesh(batch=4, stage=2)
+    gate_fn = make_pipelined_gate(mesh, TEST, "nand", impl="pallas",
+                                  interpret=True)
+    out = np.asarray(gate_fn(ct0_q, ct1_q, sk))
+    for i in range(m_micro):
+        assert np.array_equal(out[i], want)
+
+
+def test_pipeline_ntt_bit_exact(keys, cts):
+    """Pipeline stages running the block-NTT contraction are bit-identical
+    to the single-device conv path (bk_ntt sliced by stage)."""
+    from tfhe_tpu.models.keys import with_ntt_key
+    from tfhe_tpu.parallel.mesh import make_pipeline_mesh
+    from tfhe_tpu.parallel.pipeline import make_pipelined_gate
+
+    ck, sk = keys
+    lhs, rhs, ct0, ct1 = cts
+    sk_ntt = with_ntt_key(sk)
+    ct0_q = np.asarray(ct0)[None]
+    ct1_q = np.asarray(ct1)[None]
+    want = np.asarray(tfhe.gates.gate(sk, "nand", ct0, ct1, impl="conv"))
+    mesh = make_pipeline_mesh(batch=4, stage=2)
+    gate_fn = make_pipelined_gate(mesh, TEST, "nand", impl="ntt")
+    out = np.asarray(gate_fn(ct0_q, ct1_q, sk_ntt))
+    assert np.array_equal(out[0], want)

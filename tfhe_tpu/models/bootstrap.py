@@ -124,25 +124,67 @@ def _blind_rotate_xla(params, approx_ct, bk, tv_encoded, impl):
     return rotate_chunk_xla(params, acc0, bk, a_hat, impl)
 
 
+def rotate_chunk_pallas(params, acc, bk_lm_chunk, a_chunk, interpret=False):
+    """Pallas-backed rotation chunk with the [B, k+1, N] acc interface
+    (transposes to the kernel's [k+1, B, N] layout internally).  ``bk_lm_chunk``
+    is a slice of ``ServerKey.bk_lm`` (level-major rows)."""
+    k1 = params.glwe_dimension + 1
+    levels = params.pbs_decomposer.levels
+    acc_t = jnp.swapaxes(acc, 0, 1)  # [k+1, B, N]
+
+    def step(a, xs):
+        bk_i, a_i = xs
+        rot = monomial_mul(a, a_i[None, :])
+        digits = decompose_signed_planes(rot - a, params.pbs_decomposer)
+        digits = digits.reshape((levels * k1,) + digits.shape[2:])
+        raw = ep_contract_pallas_rbn(digits, bk_i, interpret=interpret)
+        return a + ep_combine_planes(raw), None
+
+    acc_t, _ = lax.scan(step, acc_t, (bk_lm_chunk, a_chunk))
+    return jnp.swapaxes(acc_t, 0, 1)
+
+
+def rotate_chunk_ntt(params, acc, bk_ntt_chunk, a_chunk):
+    """Block-NTT rotation chunk ([B, k+1, N] acc; bk from ``with_ntt_key``)."""
+    from tfhe_tpu.ops.ntt import ep_contract_ntt, plan_for_params
+
+    k = params.glwe_dimension
+    plan = plan_for_params(params)
+
+    def step(a, xs):
+        bk_i, a_i = xs
+        rot = mglwe.mul_monomial(a, a_i)
+        digits = mglwe.decompose(rot - a, params.pbs_decomposer)
+        return a + ep_contract_ntt(digits, bk_i, plan, c_dim=k + 1), None
+
+    acc, _ = lax.scan(step, acc, (bk_ntt_chunk, a_chunk))
+    return acc
+
+
+def rotate_chunk(params, acc, bk_chunk, a_chunk, impl, interpret=False):
+    """Backend-generic rotation chunk: [B, k+1, N] acc in/out.  ``bk_chunk``
+    must be the matching key form (bk_conv / bk_u32 / bk_lm / bk_ntt slices)."""
+    if impl == "pallas":
+        return rotate_chunk_pallas(params, acc, bk_chunk, a_chunk, interpret)
+    if impl == "ntt":
+        return rotate_chunk_ntt(params, acc, bk_chunk, a_chunk)
+    return rotate_chunk_xla(params, acc, bk_chunk, a_chunk, impl)
+
+
 def _blind_rotate_pallas(params, approx_ct, bk_lm, tv_encoded, interpret=False):
     """Pallas backend: transpose-free [k+1, B, N] accumulator, level-major
     digit rows r' = level*(k+1)+poly matching the permuted key ``bk_lm``."""
-    k1 = params.glwe_dimension + 1
-    levels = params.pbs_decomposer.levels
-    acc0_bkn, a_hat = _init_acc(params, approx_ct, tv_encoded)
-    acc0 = jnp.swapaxes(acc0_bkn, 0, 1)  # [k+1, B, N]
+    acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+    return rotate_chunk_pallas(params, acc0, bk_lm, a_hat, interpret)
 
-    def step(acc, xs):
-        bk_i, a_i = xs  # bk_i u32[R(level-major), k+1, N]; a_i int32[B]
-        rot = monomial_mul(acc, a_i[None, :])  # exp broadcast over k+1 rows
-        digits = decompose_signed_planes(rot - acc, params.pbs_decomposer)
-        # [levels, k+1, B, N] -> [levels*(k+1), B, N]: pure concat, no relayout
-        digits = digits.reshape((levels * k1,) + digits.shape[2:])
-        raw = ep_contract_pallas_rbn(digits, bk_i, interpret=interpret)
-        return acc + ep_combine_planes(raw), None
 
-    acc, _ = lax.scan(step, acc0, (bk_lm, a_hat))
-    return jnp.swapaxes(acc, 0, 1)  # back to [B, k+1, N]
+def _blind_rotate_ntt(params, approx_ct, bk_ntt, tv_encoded):
+    """Block-NTT backend (ops/ntt.py): BK NTT-domain resident, the per-step
+    contraction is one merged [B, R*N2] @ [R*N2, C*L*N2] int8 matmul per NTT
+    bin instead of the O(N^2) Toeplitz expansion — ~11x fewer MXU MACs at
+    default_128 (see NOTES_NTT.md).  Bit-exact vs the other backends."""
+    acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+    return rotate_chunk_ntt(params, acc0, bk_ntt, a_hat)
 
 
 def _blind_rotate_bmmp(params, approx_ct, bk_bmmp_lm, tv_encoded, interpret=False):
@@ -209,6 +251,9 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
             params, approx_ct, server_key.bk_bmmp_lm, tv_encoded,
             interpret=(impl == "bmmp_interpret"),
         )
+    if impl == "ntt":
+        assert server_key.bk_ntt is not None, "keys.with_ntt_key(server_key) required"
+        return _blind_rotate_ntt(params, approx_ct, server_key.bk_ntt, tv_encoded)
     if impl == "pallas":
         return _blind_rotate_pallas(params, approx_ct, server_key.bk_lm, tv_encoded)
     if impl == "pallas_interpret":

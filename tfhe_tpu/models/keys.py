@@ -57,6 +57,10 @@ class ServerKey:
     #: GGSW((1-s)s') concatenated -> u32[n/2, 3R, k+1, N].  None unless
     #: keygen(..., bmmp=True).
     bk_bmmp_lm: jax.Array | None = None
+    #: optional NTT-domain-resident BK for the block-NTT backend
+    #: (ops/ntt.py): int8[n, P, 2, N1, R*N2, C*L*N2].  Derived from
+    #: ``bk_u32`` by ``with_ntt_key``; not serialized (rebuilt on demand).
+    bk_ntt: jax.Array | None = None
 
 
 def make_server_key(
@@ -92,6 +96,22 @@ def make_server_key(
         bk_u32=bk_u32, bk_conv=bk_conv, bk_lm=bk_lm, ksk_u32=ksk_u32,
         ksk_mat=ksk_mat, params=params, bk_bmmp_lm=bk_bmmp_lm,
     )
+
+
+def with_ntt_key(sk: ServerKey) -> ServerKey:
+    """Attach the NTT-domain key operand for ``blind_rotate(impl='ntt')``.
+
+    Built from ``bk_u32`` in per-step chunks (the full intermediate tensor
+    at default_128 would transiently need ~4 GB; chunking keeps peak HBM at
+    ~1/12th of that while the output itself is ~1.9 GB int8).
+    """
+    from tfhe_tpu.ops.ntt import make_ep_ntt_key, plan_for_params
+
+    plan = plan_for_params(sk.params)
+    bk_ntt = jax.lax.map(
+        lambda bk_i: make_ep_ntt_key(bk_i, plan), sk.bk_u32, batch_size=64
+    )
+    return dataclasses.replace(sk, bk_ntt=bk_ntt)
 
 
 def keygen(params: TfheParams, key, bmmp: bool = False) -> tuple[ClientKey, ServerKey]:

@@ -89,6 +89,15 @@ class NttPlan:
         assert self.key_bits * self.key_limbs >= 32
 
 
+def plan_for_params(params) -> NttPlan:
+    """The PBS external-product plan for a parameter set: R = (k+1)*levels
+    digit rows with |digit| <= B = 2^log_base (the +B carry anomaly included,
+    src/decomposer.rs:42-80)."""
+    dp = params.pbs_decomposer
+    rows = (params.glwe_dimension + 1) * dp.levels
+    return make_plan(params.degree, rows=rows, max_digit=1 << dp.log_base)
+
+
 def make_plan(n: int, rows: int, max_digit: int = 16, n1: int | None = None) -> NttPlan:
     """Pick inner size and key-limb split for an R-row contraction at degree N.
 
@@ -215,17 +224,6 @@ def _matmul_i8_mod(lhs_hi, lhs_lo, rhs_hi, rhs_lo, p: int, dims) -> jnp.ndarray:
     return mod_center((x << 8) + mod_center(ll, p), p)
 
 
-def _matmul_small_mod(lhs_i8, rhs_hi, rhs_lo, p: int, dims) -> jnp.ndarray:
-    """lhs already small (|lhs| <= max_digit, 1 limb) @ 2-limb rhs mod p."""
-
-    def mm(a, b):
-        return lax.dot_general(a, b, dims, preferred_element_type=jnp.int32)
-
-    hi = mod_center(mm(lhs_i8, rhs_hi), p)
-    lo = mod_center(mm(lhs_i8, rhs_lo), p)
-    return mod_center((hi << 8) + lo, p)
-
-
 # ---------------------------------------------------------------------------
 # key preparation (keygen-time)
 # ---------------------------------------------------------------------------
@@ -254,8 +252,7 @@ def make_ep_ntt_key(bk_u32, plan: NttPlan) -> jnp.ndarray:
     g = jnp.swapaxes(g, -1, -2)  # [..., R, C, L, N2(j2), N1(i)]
 
     per_prime = []
-    for t in tabs:
-        p = int(PRIMES[len(per_prime)])
+    for p, t in zip(PRIMES, tabs):
         w = jnp.asarray(t["w_fwd"], jnp.int32)  # [N1(i), N1(bin)]
         gr = mod_center(g, p)
         # ghat[..., R, C, L, j2, bin] = sum_i g[..., i] * w[i, bin] mod p
@@ -280,9 +277,6 @@ def make_ep_ntt_key(bk_u32, plan: NttPlan) -> jnp.ndarray:
         # layout -> [prime, 2, bin, R*N2(j1), C*L*N2(jout)]
         x = jnp.moveaxis(sel, -1, 0)  # [bin, ..., R, C, L, j1, jout]
         x = jnp.moveaxis(x, -2, -4)  # [bin, ..., R, j1, C, L, jout]
-        shape = x.shape[: -5 + len(lead) - len(lead)]  # keep explicit below
-        lead_nd = len(lead)
-        # current dims: [bin] + lead + [R, j1, C, L, jout]
         x = x.reshape(x.shape[:1] + tuple(lead) + (r_dim * n2, c_dim * plan.key_limbs * n2))
         hi, lo = split2_i8(x)
         per_prime.append(jnp.stack([hi, lo], axis=0))  # [2, bin, *lead, RN2, CLN2]
@@ -309,11 +303,10 @@ def ntt_fwd_digits(digits_i8, plan: NttPlan):
         w = jnp.asarray(t["w_fwd"], jnp.int32)
         w_hi, w_lo = split2_i8(w)
         # contract i: out[bin, b, r, j1] = sum_i w[i, bin] * d[b, r, i, j1]
+        # products |d| <= max_digit (or 128 for general limbs) x |w_limb| <= 128,
+        # contraction N1 <= 2048 -> int32-safe with 2 key-limb matmuls
         dims = (((0,), (2,)), ((), ()))  # lhs w[i, bin] over i; rhs d over axis 2
-        dhat = _matmul_small_mod(
-            jnp.moveaxis(w_hi, 0, 0), None, None, p, dims
-        ) if False else None
-        # direct: products |d|<=16 x |w_limb|<=128 -> use 2 limb matmuls
+
         def mm(wl):
             return lax.dot_general(
                 wl, d, dims, preferred_element_type=jnp.int32
@@ -337,7 +330,6 @@ def ep_contract_ntt(digits_i8, bk_ntt_step, plan: NttPlan, c_dim: int) -> jnp.nd
     n1, n2, L = plan.n1, plan.n2, plan.key_limbs
     dhats = ntt_fwd_digits(digits_i8, plan)
     tabs = _tables(n1)
-    lifted = None
     res = []
     for pi, t in enumerate(tabs):
         p = int(PRIMES[pi])
@@ -353,7 +345,7 @@ def ep_contract_ntt(digits_i8, bk_ntt_step, plan: NttPlan, c_dim: int) -> jnp.nd
         wi_hi, wi_lo = split2_i8(w_inv)
         dims2 = (((0,), (0,)), ((), ()))
         cints = _matmul_i8_mod(
-            jnp.moveaxis(c_hi, 0, 0), jnp.moveaxis(c_lo, 0, 0), wi_hi, wi_lo, p, dims2
+            c_hi, c_lo, wi_hi, wi_lo, p, dims2
         )  # contracting bin: lhs [bin, B, CLN2] rhs [bin, i] -> [B, CLN2, i]
         res.append(cints)
     # centered CRT lift: S = r1 + p1 * center((r2 - r1) * inv(p1) mod p2)
@@ -398,10 +390,9 @@ def poly_mul_ntt(a_u32, b_u32) -> jnp.ndarray:
     shifts = (jnp.uint32(8) * jnp.arange(4, dtype=jnp.uint32))[:, None]
     key = (b2[:, None, :] << shifts)[..., None, :]  # u32[B, 4(R), 1(C), N]
     bk_ntt = make_ep_ntt_key(key, plan)  # [B, P, 2, bin, 4*N2, L*N2]
-    out = jnp.stack(
-        [
-            ep_contract_ntt(digits[i : i + 1], bk_ntt[i], plan, c_dim=1)[0, 0]
-            for i in range(a2.shape[0])
-        ]
-    )
+    import jax
+
+    out = jax.vmap(
+        lambda d, k: ep_contract_ntt(d[None], k, plan, c_dim=1)[0, 0]
+    )(digits, bk_ntt)
     return out.reshape(lead + (n,))

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tfhe_tpu.models import lwe as mlwe
 from tfhe_tpu.models import test_vector as mtv
-from tfhe_tpu.models.bootstrap import _init_acc, rotate_chunk_xla, sample_extract0
+from tfhe_tpu.models.bootstrap import _init_acc, rotate_chunk, sample_extract0
 from tfhe_tpu.models.keys import ServerKey
 from tfhe_tpu.models.keyswitch import key_switch
 from tfhe_tpu.ops.torus import switch_modulus, u32
@@ -37,7 +37,8 @@ from tfhe_tpu.params import TfheParams
 
 
 def _pipelined_gate_local(params: TfheParams, impl: str, n_stages: int,
-                          tv_encoded, ct0, ct1, bk_local, ksk_mat):
+                          interpret: bool, tv_encoded, ct0, ct1, bk_local,
+                          ksk_mat):
     """Per-device body: ct0/ct1 u32[M, B_local, n+1] (stage-replicated),
     bk_local = this stage's contiguous BK slice, ksk_mat replicated."""
     chunk = params.lwe_dimension // n_stages
@@ -65,7 +66,7 @@ def _pipelined_gate_local(params: TfheParams, impl: str, n_stages: int,
         fresh = lax.dynamic_index_in_dim(acc0_all, mb_c, 0, keepdims=False)
         acc_cur = jnp.where(s == 0, fresh, acc)
         a_t = lax.dynamic_index_in_dim(a_local, mb_c, 0, keepdims=False)
-        acc_new = rotate_chunk_xla(params, acc_cur, bk_local, a_t, impl)
+        acc_new = rotate_chunk(params, acc_cur, bk_local, a_t, impl, interpret)
         # the final stage banks the finished rotation (masked: other stages
         # and out-of-range ticks keep the existing — zero — contents)
         write = valid & (s == n_stages - 1)
@@ -90,20 +91,22 @@ def _pipelined_gate_local(params: TfheParams, impl: str, n_stages: int,
 
 
 def make_pipelined_gate(mesh: Mesh, params: TfheParams, gate: str,
-                        impl: str = "conv") -> callable:
+                        impl: str = "conv", interpret: bool = False) -> callable:
     """Build a jitted pipeline-parallel gate over a ("batch", "stage") mesh.
 
     Returns ``fn(ct0, ct1, server_key) -> ct_out`` where ct0/ct1 are
     u32[M, B, n+1] microbatch queues; output is u32[M, B, n+1].  BK is
     sharded by rotation-step range over ``stage``; ciphertexts shard over
-    ``batch`` and flow through the stages via ppermute.
+    ``batch`` and flow through the stages via ppermute.  All four contraction
+    backends work per stage (conv / matmul / pallas / ntt); ``interpret``
+    runs the Pallas kernel in interpret mode for CPU tests.
     """
     n_stages = mesh.shape[STAGE_AXIS]
     assert params.lwe_dimension % n_stages == 0, (params.lwe_dimension, n_stages)
-    assert impl in ("conv", "matmul"), impl
+    assert impl in ("conv", "matmul", "pallas", "ntt"), impl
     tv = jnp.asarray(mtv.gate_test_vector(params, gate))
 
-    f = partial(_pipelined_gate_local, params, impl, n_stages, tv)
+    f = partial(_pipelined_gate_local, params, impl, n_stages, interpret, tv)
     ct_spec = P(None, BATCH_AXIS, None)
     sharded = jax.shard_map(
         f,
@@ -118,7 +121,15 @@ def make_pipelined_gate(mesh: Mesh, params: TfheParams, gate: str,
         return sharded(ct0, ct1, bk, ksk_mat)
 
     def call(ct0, ct1, sk: ServerKey):
-        bk = sk.bk_conv if impl == "conv" else sk.bk_u32
+        if impl == "conv":
+            bk = sk.bk_conv
+        elif impl == "pallas":
+            bk = sk.bk_lm
+        elif impl == "ntt":
+            assert sk.bk_ntt is not None, "keys.with_ntt_key(server_key) required"
+            bk = sk.bk_ntt
+        else:
+            bk = sk.bk_u32
         return run(ct0, ct1, bk, sk.ksk_mat)
 
     return call

@@ -38,7 +38,7 @@ from tfhe_tpu.ops.poly import (
     monomial_mul,
 )
 from tfhe_tpu.ops.torus import NUM_LIMBS, combine_limb_accs, switch_modulus, u32
-from tfhe_tpu.parallel.mesh import BATCH_AXIS, MODEL_AXIS
+from tfhe_tpu.parallel.mesh import BATCH_AXIS, HOST_AXIS, MODEL_AXIS
 from tfhe_tpu.params import TfheParams
 
 
@@ -189,6 +189,13 @@ def make_sharded_gate(
     if use_model_axis is None:
         use_model_axis = model_n > 1
     model_axis = MODEL_AXIS if use_model_axis else None
+    # multi-host: ciphertext batches shard over (host, batch) together; key
+    # specs below leave host unmentioned = replicated per host (the
+    # plan_key_placement policy's default), so no collective crosses DCN in
+    # the batch-parallel path
+    ct_axes = (
+        (HOST_AXIS, BATCH_AXIS) if HOST_AXIS in mesh.axis_names else BATCH_AXIS
+    )
     tv = jnp.asarray(mtv.gate_test_vector(params, gate))
 
     rows = (params.glwe_dimension + 1) * params.pbs_decomposer.levels
@@ -215,8 +222,8 @@ def make_sharded_gate(
     sharded = jax.shard_map(
         f,
         mesh=mesh,
-        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), bk_c_spec, bk_m_spec, ksk_spec),
-        out_specs=P(BATCH_AXIS),
+        in_specs=(P(ct_axes), P(ct_axes), bk_c_spec, bk_m_spec, ksk_spec),
+        out_specs=P(ct_axes),
         check_vma=False,
     )
 
