@@ -78,8 +78,13 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     impl = args.impl
     if impl == "auto":
-        impl = "pallas" if on_tpu else "conv"
-    batch = args.batch or (1024 if on_tpu else 64)
+        # fused (whole-scan VMEM-resident kernel) is the fastest exact backend
+        # on hardware (sweep r2: 3136 boots/s @ 3072 vs pallas 3021 @ 1024);
+        # batch 3072 trades ~1% throughput vs 4096 for 3x faster compile
+        impl = "fused" if on_tpu else "conv"
+    batch = args.batch or (
+        (3072 if impl in ("fused", "fused3") else 1024) if on_tpu else 64
+    )
     iters = args.iters
     log(f"device: {dev}, params: {params.name}, impl: {impl}, batch: {batch}")
 

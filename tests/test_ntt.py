@@ -135,3 +135,30 @@ class TestEpContract:
             jntt.ep_contract_ntt(jnp.asarray(digits), bk_ntt, plan, c_dim=c)
         )
         assert np.array_equal(ours, want)
+
+
+class TestBinShardedPartials:
+    def test_partials_sum_to_full(self, rng):
+        """Bin-partial raw INTT limb planes summed across shards == the
+        single-shot contraction (the psum invariant of the sharded-NTT EP)."""
+        import jax.numpy as jnp
+
+        r, c, n = _ep_params(TEST)
+        plan = jntt.make_plan(n, rows=r)
+        digits = rng.integers(-8, 17, size=(3, r, n)).astype(np.int8)
+        bk = rnd_u32(rng, (r, c, n))
+        bk_ntt = jntt.make_ep_ntt_key(bk, plan)
+        want = np.asarray(
+            jntt.ep_contract_ntt(jnp.asarray(digits), bk_ntt, plan, c_dim=c)
+        )
+        for shards in (2, 4):
+            bl = plan.n1 // shards
+            planes = sum(
+                jntt.ep_contract_ntt_partial(
+                    jnp.asarray(digits), bk_ntt[:, :, s * bl : (s + 1) * bl],
+                    plan, c, s * bl, bl,
+                )
+                for s in range(shards)
+            )
+            ours = np.asarray(jntt.ep_finish_ntt(planes, plan, c_dim=c))
+            assert np.array_equal(ours, want), shards

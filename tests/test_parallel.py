@@ -224,3 +224,19 @@ def test_pipeline_ntt_bit_exact(keys, cts):
     gate_fn = make_pipelined_gate(mesh, TEST, "nand", impl="ntt")
     out = np.asarray(gate_fn(ct0_q, ct1_q, sk_ntt))
     assert np.array_equal(out[0], want)
+
+
+def test_ntt_bin_sharded_bit_exact(keys, cts, reference_out):
+    """Sharded-NTT external product (NTT bins over the model axis, raw INTT
+    limb planes psum'd per step) is bit-identical to single-device conv."""
+    from tfhe_tpu.models.keys import with_ntt_key
+
+    ck, sk = keys
+    lhs, rhs, ct0, ct1 = cts
+    sk_ntt = with_ntt_key(sk)
+    mesh = make_mesh(batch=4, model=2)
+    gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="ntt")
+    out = np.asarray(gate_fn(ct0, ct1, sk_ntt))
+    assert np.array_equal(out, reference_out)
+    got = np.asarray(tfhe.decrypt(ck, out))
+    assert np.array_equal(got, 1 - (lhs & rhs))

@@ -206,22 +206,31 @@ def key_limbs_i32(g_u32, key_bits: int, key_limbs: int) -> jnp.ndarray:
     return jnp.stack(limbs, axis=0)
 
 
-def _matmul_i8_mod(lhs_hi, lhs_lo, rhs_hi, rhs_lo, p: int, dims) -> jnp.ndarray:
-    """Exact (a_hi*256+a_lo) @ (b_hi*256+b_lo) mod p via 4 int8 MXU matmuls.
-
-    Per-plane int32 accumulators are reduced mod p BEFORE shift-combining so
-    every intermediate stays < 2^24 regardless of contraction size.
-    """
+def _matmul_i8_planes(lhs_hi, lhs_lo, rhs_hi, rhs_lo, dims):
+    """Raw limb-plane products of (a_hi*256+a_lo) @ (b_hi*256+b_lo): returns
+    (hh, hl+lh, ll) int32 accumulators WITHOUT modular combination.  The
+    planes are linear in the contraction, so partial-contraction planes may
+    be summed (e.g. psum over a sharded bin axis) before ``_combine_planes``."""
 
     def mm(a, b):
         return lax.dot_general(a, b, dims, preferred_element_type=jnp.int32)
 
-    hh = mod_center(mm(lhs_hi, rhs_hi), p)
-    hl = mm(lhs_hi, rhs_lo)
-    lh = mm(lhs_lo, rhs_hi)
-    ll = mm(lhs_lo, rhs_lo)
-    x = mod_center((hh << 8) + mod_center(hl + lh, p), p)
+    return mm(lhs_hi, rhs_hi), mm(lhs_hi, rhs_lo) + mm(lhs_lo, rhs_hi), mm(
+        lhs_lo, rhs_lo
+    )
+
+
+def _combine_planes(hh, m, ll, p: int) -> jnp.ndarray:
+    """(hh*256 + m)*256 + ll mod p, centered; reduces each plane mod p BEFORE
+    shift-combining so every intermediate stays < 2^24."""
+    x = mod_center((mod_center(hh, p) << 8) + mod_center(m, p), p)
     return mod_center((x << 8) + mod_center(ll, p), p)
+
+
+def _matmul_i8_mod(lhs_hi, lhs_lo, rhs_hi, rhs_lo, p: int, dims) -> jnp.ndarray:
+    """Exact (a_hi*256+a_lo) @ (b_hi*256+b_lo) mod p via 4 int8 MXU matmuls."""
+    hh, m, ll = _matmul_i8_planes(lhs_hi, lhs_lo, rhs_hi, rhs_lo, dims)
+    return _combine_planes(hh, m, ll, p)
 
 
 # ---------------------------------------------------------------------------
@@ -348,6 +357,13 @@ def ep_contract_ntt(digits_i8, bk_ntt_step, plan: NttPlan, c_dim: int) -> jnp.nd
             c_hi, c_lo, wi_hi, wi_lo, p, dims2
         )  # contracting bin: lhs [bin, B, CLN2] rhs [bin, i] -> [B, CLN2, i]
         res.append(cints)
+    return _crt_lift_combine(res, plan, c_dim, b)
+
+
+def _crt_lift_combine(res, plan: NttPlan, c_dim: int, b: int) -> jnp.ndarray:
+    """Per-prime centered INTT residues [B, C*L*N2, N1] -> u32[B, C, N]:
+    centered CRT lift, limb recombination, coefficient reorder."""
+    n1, n2, L = plan.n1, plan.n2, plan.key_limbs
     # centered CRT lift: S = r1 + p1 * center((r2 - r1) * inv(p1) mod p2)
     p1, p2 = PRIMES
     inv_p1 = _pow_mod(p1, p2 - 2, p2)
@@ -362,6 +378,77 @@ def ep_contract_ntt(digits_i8, bk_ntt_step, plan: NttPlan, c_dim: int) -> jnp.nd
     for l in range(1, L):
         out = out + (su[:, :, l] << jnp.uint32(plan.key_bits * l))
     return out
+
+
+# ---------------------------------------------------------------------------
+# bin-sharded contraction (the NTT-stage-parallel / SP analog,
+# SURVEY.md section 2.2 row 3): each shard owns a contiguous slice of the N1
+# NTT bins — forward NTT, merged matmul and the partial INTT are all local;
+# only raw int32 INTT limb planes cross the mesh (psum), after which the
+# modular combine + CRT lift run replicated.  Bit-exact vs single-device.
+# ---------------------------------------------------------------------------
+
+
+def ntt_fwd_digits_cols(digits_i8, plan: NttPlan, bin_start, bins_local: int):
+    """``ntt_fwd_digits`` restricted to bins [bin_start, bin_start+bins_local);
+    ``bin_start`` may be traced (the shard offset)."""
+    b, r_dim, n = digits_i8.shape
+    n1, n2 = plan.n1, plan.n2
+    d = digits_i8.reshape(b, r_dim, n1, n2)
+    outs = []
+    for p, t in zip(PRIMES, _tables(n1)):
+        w = lax.dynamic_slice_in_dim(
+            jnp.asarray(t["w_fwd"], jnp.int32), bin_start, bins_local, axis=1
+        )
+        w_hi, w_lo = split2_i8(w)
+        dims = (((0,), (2,)), ((), ()))
+
+        def mm(wl):
+            return lax.dot_general(wl, d, dims, preferred_element_type=jnp.int32)
+
+        dh = mod_center((mod_center(mm(w_hi), p) << 8) + mod_center(mm(w_lo), p), p)
+        outs.append(split2_i8(dh.reshape(bins_local, b, r_dim * n2)))
+    return outs
+
+
+def ep_contract_ntt_partial(
+    digits_i8, bk_ntt_local, plan: NttPlan, c_dim: int, bin_start, bins_local: int
+) -> jnp.ndarray:
+    """Local-bin partial contraction: int32[P, 3, B, C*L*N2, N1] raw INTT limb
+    planes (hh, hl+lh, ll per prime), linear in the bin axis — psum them
+    across shards, then ``ep_finish_ntt``.  ``bk_ntt_local`` is the local bin
+    slice of ``make_ep_ntt_key``'s output: int8[P, 2, bins_local, RN2, CLN2]."""
+    dhats = ntt_fwd_digits_cols(digits_i8, plan, bin_start, bins_local)
+    per_prime = []
+    for pi, (p, t) in enumerate(zip(PRIMES, _tables(plan.n1))):
+        d_hi, d_lo = dhats[pi]  # [bins_local, B, RN2]
+        k_hi = bk_ntt_local[pi, 0]
+        k_lo = bk_ntt_local[pi, 1]
+        dims = (((2,), (1,)), ((0,), (0,)))
+        chat = _matmul_i8_mod(d_hi, d_lo, k_hi, k_lo, p, dims)  # [bins, B, CLN2]
+        w_inv = lax.dynamic_slice_in_dim(
+            jnp.asarray(t["w_inv"], jnp.int32), bin_start, bins_local, axis=0
+        )
+        c_hi, c_lo = split2_i8(chat)
+        wi_hi, wi_lo = split2_i8(w_inv)
+        dims2 = (((0,), (0,)), ((), ()))
+        planes = _matmul_i8_planes(c_hi, c_lo, wi_hi, wi_lo, dims2)
+        per_prime.append(jnp.stack(planes, axis=0))  # [3, B, CLN2, N1]
+    return jnp.stack(per_prime, axis=0)  # [P, 3, B, CLN2, N1]
+
+
+def ep_finish_ntt(planes, plan: NttPlan, c_dim: int) -> jnp.ndarray:
+    """Combine (psum'd) raw INTT limb planes -> u32[B, C, N] wrapping delta.
+
+    Plane magnitudes stay int32-safe across the full bin range: each raw plane
+    entry is a sum of <= N1 (<=2048) int8*int8 products (< 2^25), and psum
+    only ever restores the full-bin total."""
+    b = planes.shape[2]
+    res = [
+        _combine_planes(planes[pi, 0], planes[pi, 1], planes[pi, 2], p)
+        for pi, p in enumerate(PRIMES)
+    ]
+    return _crt_lift_combine(res, plan, c_dim, b)
 
 
 # ---------------------------------------------------------------------------

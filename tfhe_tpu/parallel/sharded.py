@@ -84,6 +84,35 @@ def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
         acc, _ = lax.scan(step_p, acc0, xs)
         return jnp.swapaxes(acc, 0, 1)
 
+    if impl == "ntt":
+        # NTT-stage sharding (SURVEY.md section 2.2 row 3, the sharded-NTT
+        # plan): each shard owns N1/model_n contiguous NTT bins — forward
+        # NTT, merged matmul and partial INTT are all local; only the raw
+        # int32 INTT limb planes cross the mesh (psum — linear in the bin
+        # axis), then the modular combine + CRT lift run replicated.
+        from tfhe_tpu.ops.ntt import (
+            ep_contract_ntt_partial, ep_finish_ntt, plan_for_params,
+        )
+
+        plan = plan_for_params(params)
+        bins_local = plan.n1 // model_n if model_axis else plan.n1
+        bin_start = shard * bins_local
+
+        def step_n(acc, xs):
+            _, bkm_i, a_i = xs  # bkm_i int8[P, 2, bins_local, RN2, CLN2]
+            rot = mglwe.mul_monomial(acc, a_i)
+            digits = mglwe.decompose(rot - acc, params.pbs_decomposer)
+            planes = ep_contract_ntt_partial(
+                digits, bkm_i, plan, k + 1, bin_start, bins_local
+            )
+            if model_axis:
+                planes = lax.psum(planes, model_axis)
+            return acc + ep_finish_ntt(planes, plan, k + 1), None
+
+        xs = (jnp.zeros((n_dim, 0), jnp.int8), bk_m, a_hat)
+        acc, _ = lax.scan(step_n, acc0, xs)
+        return acc
+
     if impl == "coeffs":
         # SP analog (SURVEY.md section 2.2 row 3): shard the N OUTPUT
         # COEFFICIENTS of the contraction over ``model``.  The key stays
@@ -202,6 +231,11 @@ def make_sharded_gate(
     if use_model_axis:
         if impl == "coeffs":
             assert params.degree % model_n == 0, (params.degree, model_n)
+        elif impl == "ntt":
+            from tfhe_tpu.ops.ntt import plan_for_params
+
+            n1 = plan_for_params(params).n1
+            assert n1 % model_n == 0, (n1, model_n)
         else:
             assert rows % model_n == 0, (rows, model_n)
         k_rows = params.glwe_dimension * params.degree * params.ks_decomposer.levels
@@ -212,6 +246,12 @@ def make_sharded_gate(
     if impl == "coeffs":
         bk_c_spec = P()
         bk_m_spec = P()
+    elif impl == "ntt":
+        # bk_ntt [n, P, 2, bin, RN2, CLN2]: shard the NTT-bin axis
+        bk_c_spec = P()
+        bk_m_spec = (
+            P(None, None, None, MODEL_AXIS, None, None) if use_model_axis else P()
+        )
     else:
         bk_c_spec = P(None, None, MODEL_AXIS, None) if use_model_axis else P()
         bk_m_spec = P(None, MODEL_AXIS, None, None) if use_model_axis else P()
@@ -232,7 +272,13 @@ def make_sharded_gate(
         return sharded(ct0, ct1, bk_conv, bk_u32, ksk_mat)
 
     def call(ct0, ct1, sk: ServerKey):
-        bk_rows = sk.bk_lm if impl == "pallas" else sk.bk_u32
+        if impl == "pallas":
+            bk_rows = sk.bk_lm
+        elif impl == "ntt":
+            assert sk.bk_ntt is not None, "keys.with_ntt_key(server_key) required"
+            bk_rows = sk.bk_ntt
+        else:
+            bk_rows = sk.bk_u32
         return run(ct0, ct1, sk.bk_conv, bk_rows, sk.ksk_mat)
 
     return call

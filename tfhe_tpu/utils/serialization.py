@@ -64,6 +64,10 @@ def save_server_key(path: str, sk: ServerKey) -> None:
 
 
 def load_server_key(path: str) -> ServerKey:
+    """Rebuilds the derived MXU layouts (conv kernel, limb matrices) from the
+    canonical tensors.  The optional NTT-domain operand is NOT stored (it is
+    ~24x the canonical BK): call ``models.keys.with_ntt_key`` on the loaded
+    key before using ``impl='ntt'``."""
     with np.load(path) as z:
         bk_u32 = jnp.asarray(z["bk_u32"])
         ksk_u32 = jnp.asarray(z["ksk_u32"])
