@@ -52,7 +52,8 @@ def main():
     ap.add_argument("--params", default="default_128")
     ap.add_argument("--batch", type=int, default=0, help="0 = default for impl")
     ap.add_argument("--impl", default="auto",
-                    choices=["auto", "conv", "matmul", "pallas", "fused", "fused3", "bmmp", "ntt"])
+                    choices=["auto", "conv", "matmul", "pallas", "fused",
+                             "fused3", "fusedc", "fusedc3", "bmmp", "ntt"])
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-check", action="store_true",
                     help="skip the same-run correctness/noise verification")
@@ -83,7 +84,7 @@ def main():
         # batch 3072 trades ~1% throughput vs 4096 for 3x faster compile
         impl = "fused" if on_tpu else "conv"
     batch = args.batch or (
-        (3072 if impl in ("fused", "fused3") else 1024) if on_tpu else 64
+        (3072 if impl.startswith("fused") else 1024) if on_tpu else 64
     )
     iters = args.iters
     log(f"device: {dev}, params: {params.name}, impl: {impl}, batch: {batch}")

@@ -220,6 +220,28 @@ class TestBitExactBootstrap:
         ours = np.asarray(mboot.pbs(p, cts, server, tv_enc, impl="fused_interpret"))
         assert np.array_equal(ours, want)
 
+    def test_full_pbs_bit_exact_fusedc_interpret(self, shared):
+        """Column-split whole-scan kernel (interpret mode) is bit-identical
+        to the golden pipeline (digits-scratch sharing + per-column
+        accumulator updates preserve exact CMUX semantics)."""
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(22)
+        p = TEST
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (2, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        cts = np.stack([
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
+            for m in range(2)
+        ])
+        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
+                         for i in range(2)])
+        ours = np.asarray(
+            mboot.pbs(p, cts, server, tv_enc, impl="fusedc_interpret")
+        )
+        assert np.array_equal(ours, want)
+
     def test_full_pbs_bit_exact_pallas_interpret(self, shared):
         """Pallas backend (interpret mode on CPU) is bit-identical too —
         covers the level-major digit rows + bk_lm permutation + VMEM-layout

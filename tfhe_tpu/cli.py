@@ -62,11 +62,16 @@ def cmd_gate(args):
     lhs, p1 = ser.load_ciphertexts(args.lhs)
     rhs, p2 = ser.load_ciphertexts(args.rhs)
     assert p1 == sk.params and p2 == sk.params, "parameter mismatch"
+    if args.impl == "ntt":
+        from tfhe_tpu.models.keys import with_ntt_key
+
+        sk = with_ntt_key(sk)
     t0 = time.time()
     if args.op == "not":
         out = tfhe.gates.not_(sk, lhs)
     else:
-        out = tfhe.gates.gate(sk, args.op, rhs, lhs)  # index = 2*lhs + rhs
+        # index = 2*lhs + rhs
+        out = tfhe.gates.gate(sk, args.op, rhs, lhs, impl=args.impl)
     np.asarray(out)
     ser.save_ciphertexts(args.out, out, sk.params)
     print(f"{args.op} on {lhs.shape[0]} ciphertext pairs in {time.time()-t0:.1f}s -> {args.out}")
@@ -134,6 +139,9 @@ def main(argv=None):
     ga.add_argument("--lhs", required=True)
     ga.add_argument("--rhs", required=False, default=None)
     ga.add_argument("--out", required=True)
+    ga.add_argument("--impl", default="auto",
+                    choices=["auto", "conv", "matmul", "pallas", "fused",
+                             "fused3", "bmmp", "ntt"])
 
     de = sub.add_parser("decrypt"); de.set_defaults(fn=cmd_decrypt)
     de.add_argument("--client", required=True)

@@ -232,6 +232,17 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     (the *encoded* test vector, src/bootstrapping.rs:82-86).
     """
     impl = resolve_impl(impl)
+    if impl in ("fusedc", "fusedc3", "fusedc_interpret"):
+        # column-split whole-scan kernel: bt=512 tiles balance the MXU's
+        # weight-load latency (ops/pallas/blind_rotate_kernel.py:_kernel_cols)
+        from tfhe_tpu.ops.pallas.blind_rotate_kernel import blind_rotate_fused_cols
+
+        acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+        return blind_rotate_fused_cols(
+            params, acc0, server_key.bk_u32, a_hat,
+            interpret=(impl == "fusedc_interpret"),
+            key_limbs=3 if impl == "fusedc3" else 4,
+        )
     if impl in ("fused", "fused3", "fused_interpret"):
         # whole-scan Pallas kernel: acc VMEM-resident for all n steps, BK
         # streamed per step (ops/pallas/blind_rotate_kernel.py).  ``fused3``

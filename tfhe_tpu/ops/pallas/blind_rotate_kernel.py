@@ -161,6 +161,177 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
     acc_ref[tile] = jnp.stack(new_planes)
 
 
+def _kernel_cols(a_ref, acc_in_ref, bk_ref, acc_ref, w_ref, d_ref, *,
+                 params: TfheParams, bt: int, key_limbs: int):
+    """Column-split variant: grid (steps, k+1 columns, batch tiles).
+
+    Per (step, col) the Toeplitz scratch holds only column ``col``'s
+    R*key_limbs planes (1/(k+1) the VMEM of ``_kernel``), which frees enough
+    VMEM to double the batch tile to 512 — the hypothesis being that M=512
+    rows per dot balance the MXU's 512-cycle weight load (the bt=256 kernel
+    runs ~65% MXU).  Digits are computed ONCE per (step, tile) at col==0 into
+    a shared int8 scratch; each column updates only its own accumulator plane
+    (exact: the wrapping-u32 limb recombination is linear, and column c's
+    update never feeds column c'!=c's digits within the step).
+
+    MEASURED (v5e, default_128, B=4096): 2917 boots/s, 0/4096 errors — LOSES
+    to ``_kernel`` (3171 boots/s @4096): the digit planes re-read from VMEM
+    scratch per column, the 3x grid-cell count, and the per-column expansion
+    sitting on the critical path with only 1/(k+1) of the MXU work to hide it
+    cost more than the bigger M saves.  Kept as a tested variant
+    (impl='fusedc'/'fusedc3'); the row-major ``_kernel`` stays the default.
+    """
+    n = params.degree
+    k1 = params.glwe_dimension + 1
+    dp = params.pbs_decomposer
+    levels = dp.levels
+    r_rows = k1 * levels
+    drop = NUM_LIMBS - key_limbs
+
+    step = pl.program_id(0)
+    col = pl.program_id(1)
+    tile = pl.program_id(2)
+
+    @pl.when((step == 0) & (col == 0))
+    def _():
+        acc_ref[tile] = acc_in_ref[tile]
+
+    # ---- expand THIS column's GGSW rows into int8 Toeplitz limb planes,
+    # once per (step, col) (first tile), shared by all batch tiles
+    @pl.when(tile == 0)
+    def _():
+        bk_step = bk_ref[0, 0]  # [R, N] u32: column ``col``'s rows
+        for row in range(r_rows):
+            g = bk_step[row : row + 1, :]
+            g_ext = jnp.concatenate([g, -g], axis=1)  # sign in u32
+            base = jnp.broadcast_to(g_ext, (n, 2 * n))
+            circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
+            w = circ[:, :n] + jnp.uint32(0x80808080)
+            for i, l in enumerate(range(drop, NUM_LIMBS)):
+                limb = ((w >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32
+                ) - 128
+                w_ref[row * key_limbs + i] = limb.astype(jnp.int8)
+
+    a = a_ref[0, 0]  # [bt, 1] int32
+    coeff = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
+    bits = (2 * n - 1).bit_length()
+    ig = dp.ignored_bits
+    base_mask = jnp.uint32((1 << dp.log_base) - 1)
+    half = jnp.uint32(1 << (dp.log_base - 1))
+    sb = dp.log_base + 2
+    m8 = jnp.uint32((1 << sb) - 1)
+    top = jnp.uint32(1 << (sb - 1))
+
+    # ---- digits once per (step, tile): col==0 rotates/decomposes from the
+    # step-start accumulator (no column has updated it yet) into the shared
+    # scratch; col 1..k read the scratch.
+    @pl.when(col == 0)
+    def _():
+        for poly in range(k1):
+            accp = acc_ref[tile, poly]  # [bt, N] u32
+            rot = accp
+            for kb in range(bits):
+                s = 1 << kb
+                if s >= n:
+                    rolled = -rot
+                else:
+                    r = pltpu.roll(rot, s, 1)
+                    rolled = jnp.where(coeff < s, -r, r)
+                rot = jnp.where(((a >> kb) & 1) == 1, rolled, rot)
+            diff = rot - accp
+            if ig:
+                msb = (diff & jnp.uint32((1 << ig) - 1)) >> jnp.uint32(ig - 1)
+                val = ((diff >> jnp.uint32(ig)) + msb) << jnp.uint32(ig)
+            else:
+                val = diff
+            carry = jnp.zeros_like(val)
+            kept = []
+            for l in range(dp.l_full):
+                res = ((val >> jnp.uint32(dp.log_base * l)) & base_mask) + carry
+                cm = res & half
+                res = res - (cm << jnp.uint32(1))
+                carry = cm >> jnp.uint32(dp.log_base - 1)
+                if l >= dp.l_full - levels:
+                    kept.append(res)
+            kept.reverse()
+            for j, d in enumerate(kept):
+                d8 = (
+                    (d & m8).astype(jnp.int32) - 2 * (d & top).astype(jnp.int32)
+                ).astype(jnp.int8)
+                d_ref[tile, poly * levels + j] = d8
+
+    # ---- this column's contraction: R digit rows x key_limbs planes
+    acc4 = [jnp.zeros((bt, n), jnp.int32) for _ in range(key_limbs)]
+    for row in range(r_rows):
+        d8 = d_ref[tile, row]
+        for l in range(key_limbs):
+            acc4[l] += jnp.dot(
+                d8, w_ref[row * key_limbs + l], preferred_element_type=jnp.int32
+            )
+    delta = jnp.zeros((bt, n), jnp.uint32)
+    for i, l in enumerate(range(drop, NUM_LIMBS)):
+        delta = delta + (acc4[i].astype(jnp.uint32) << jnp.uint32(8 * l))
+    acc_ref[tile, col] += delta
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret", "batch_tile", "key_limbs")
+)
+def blind_rotate_fused_cols(params: TfheParams, acc0, bk_u32, a_hat,
+                            interpret=False, batch_tile: int | None = None,
+                            key_limbs: int = NUM_LIMBS):
+    """Column-split whole-scan rotation (see ``_kernel_cols``): bt=512 default.
+
+    acc0 u32[B, k+1, N], bk u32[n, R, k+1, N], a_hat int32[n, B] -> final acc.
+    Bit-exact vs ``blind_rotate_fused`` and the scan backends (key_limbs=4).
+    """
+    batch, k1, n = acc0.shape
+    steps, r_dim = bk_u32.shape[0], bk_u32.shape[1]
+    assert 1 <= key_limbs <= NUM_LIMBS
+    bt = batch_tile or min(batch, 512)
+    assert batch % bt == 0, (batch, bt)
+    n_tiles = batch // bt
+
+    acc0_tiles = jnp.swapaxes(acc0.reshape(n_tiles, bt, k1, n), 1, 2)
+    a_tiles = a_hat.reshape(steps, n_tiles, bt, 1)
+    # column-major key blocks: [steps, k+1(col), R, N]
+    bk_cols = jnp.moveaxis(bk_u32, 2, 1)
+    out = pl.pallas_call(
+        functools.partial(_kernel_cols, params=params, bt=bt,
+                          key_limbs=key_limbs),
+        grid=(steps, k1, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, bt, 1), lambda s, c, t: (s, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, k1, bt, n), lambda s, c, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r_dim, n), lambda s, c, t: (s, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_tiles, k1, bt, n), lambda s, c, t: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k1, bt, n), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((r_dim * key_limbs, n, n), jnp.int8),
+            pltpu.VMEM((n_tiles, r_dim, bt, n), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=116 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * batch * r_dim * k1 * n * n * key_limbs,
+            bytes_accessed=steps * r_dim * k1 * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_tiles, acc0_tiles, bk_cols)
+    return jnp.swapaxes(out, 1, 2).reshape(batch, k1, n)
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "interpret", "batch_tile", "key_limbs")
 )
