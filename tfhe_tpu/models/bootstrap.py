@@ -77,8 +77,17 @@ def sample_extract(glwe_ct, index=0) -> jnp.ndarray:
 
 
 def sample_extract0(glwe_ct) -> jnp.ndarray:
-    """Coefficient-0 specialisation (the PBS hot path)."""
-    return sample_extract(glwe_ct, 0)
+    """Coefficient-0 specialisation (the PBS hot path): at index 0 the
+    gather collapses to a reverse + negate — a'[i*N+j] = a_i[(0-j) mod N]
+    negated for j>0 is a_i[0] followed by the negated reversal of
+    a_i[1:] — so no take_along_axis is needed (measured: the general
+    gather cost 64ms of a 976ms gate at B=3072)."""
+    ct = u32(glwe_ct)
+    k = ct.shape[-2] - 1
+    a = ct[..., :k, :]
+    w = jnp.concatenate([a[..., :1], -jnp.flip(a[..., 1:], axis=-1)], axis=-1)
+    flat = w.reshape(ct.shape[:-2] + (k * ct.shape[-1],))
+    return jnp.concatenate([flat, ct[..., k, :1]], axis=-1)
 
 
 def _init_acc(params: TfheParams, approx_ct, tv_encoded):
