@@ -162,3 +162,43 @@ class TestBinShardedPartials:
             )
             ours = np.asarray(jntt.ep_finish_ntt(planes, plan, c_dim=c))
             assert np.array_equal(ours, want), shards
+
+
+class TestLargeDegree:
+    """N >= 2048 — the block-NTT tier's target regime (large_2048/large_4096
+    registry sets; NOTES_NTT.md crossover claim)."""
+
+    @pytest.mark.parametrize("n", [2048, 4096])
+    def test_poly_mul_ntt_matches_golden(self, rng, n):
+        p0 = rnd_u32(rng, (n,))
+        p1 = rnd_u32(rng, (n,))
+        want = g.poly_mul(p0, p1)
+        got = np.asarray(jntt.poly_mul_ntt(jnp.asarray(p0), jnp.asarray(p1)))
+        assert np.array_equal(got, want)
+
+    def test_ep_contract_large_2048(self, rng):
+        params = get_params("large_2048")
+        r, c, n = _ep_params(params)
+        plan = jntt.plan_for_params(params)
+        digits = rng.integers(-8, 17, size=(2, r, n)).astype(np.int8)
+        bk = rnd_u32(rng, (r, c, n))
+        want = np.asarray(ep_combine(ep_contract_matmul(jnp.asarray(digits), bk), c))
+        bk_ntt = jntt.make_ep_ntt_key(bk, plan)
+        ours = np.asarray(
+            jntt.ep_contract_ntt(jnp.asarray(digits), bk_ntt, plan, c_dim=c)
+        )
+        assert np.array_equal(ours, want)
+
+    def test_ep_worst_case_bound_2048(self):
+        params = get_params("large_2048")
+        r, c, n = _ep_params(params)
+        plan = jntt.plan_for_params(params)
+        assert r * n * plan.max_digit * (1 << (plan.key_bits - 1)) < jntt.P_CRT // 2
+        digits = np.full((1, r, n), 16, np.int8)
+        bk = np.full((r, c, n), 0xFFFFFFFF, np.uint32)
+        want = np.asarray(ep_combine(ep_contract_matmul(jnp.asarray(digits), bk), c))
+        bk_ntt = jntt.make_ep_ntt_key(bk, plan)
+        ours = np.asarray(
+            jntt.ep_contract_ntt(jnp.asarray(digits), bk_ntt, plan, c_dim=c)
+        )
+        assert np.array_equal(ours, want)

@@ -152,3 +152,44 @@ class TestExternalProductContraction:
         acc = jpoly.ep_contract_matmul(jnp.asarray(digits), jnp.asarray(bk))
         ours = np.asarray(jpoly.ep_combine(acc, k + 1))
         assert np.array_equal(ours, want)
+
+
+class TestParamsValidation:
+    """Construction-time rejection of params that would break int32-exact
+    accumulation (the preconditions documented at ops/torus.py:76-87)."""
+
+    def test_registry_sets_valid(self):
+        from tfhe_tpu.params import PARAMS, validate
+
+        for p in PARAMS.values():
+            validate(p)  # must not raise
+
+    def test_rejects_ep_accumulation_overflow(self):
+        # R*N*(base/2)*128 = 64*2^15*8*128 = 2^31: k=7, levels=8, N=2^15
+        p = get_params("default_128")
+        big = DecomposerParams(log_base=4, levels=8, log_q=32)
+        with pytest.raises(ValueError, match="pbs contraction bound"):
+            p.replace(glwe_dimension=7, log_degree=15, pbs_decomposer=big)
+
+    def test_rejects_wide_digits(self):
+        p = get_params("default_128")
+        with pytest.raises(AssertionError):
+            # DecomposerParams itself rejects base > 64 (int8 digit bound)
+            DecomposerParams(log_base=8, levels=4, log_q=32)
+        with pytest.raises(ValueError, match="log_q must be 32"):
+            p.replace(log_q=16,
+                      ks_decomposer=DecomposerParams(4, 2, 16),
+                      pbs_decomposer=DecomposerParams(4, 3, 16))
+
+    def test_rejects_ks_overflow(self):
+        # kN*l_ks*base*128 = 4*2^15*8*16*128 = 2^31 (pbs bound still OK:
+        # R*N*16*128 = 30*2^15*2048 = 2.01e9 < 2^31)
+        p = get_params("default_128")
+        with pytest.raises(ValueError, match="ks contraction bound"):
+            p.replace(glwe_dimension=4, log_degree=15,
+                      ks_decomposer=DecomposerParams(4, 8, 32))
+
+    def test_rejects_bad_encoding(self):
+        p = get_params("default_128")
+        with pytest.raises(ValueError, match="log_p"):
+            p.replace(log_p=31, padding_bits=1)

@@ -54,27 +54,97 @@ def cmd_encrypt(args):
     print(f"encrypted {len(bits)} messages -> {args.out}")
 
 
+def _load_server(args):
+    from tfhe_tpu.utils import serialization as ser
+
+    sk = ser.load_server_key(args.server)
+    if getattr(args, "impl", None) == "ntt":
+        from tfhe_tpu.models.keys import with_ntt_key
+
+        sk = with_ntt_key(sk)
+    return sk
+
+
+def _load_cts(path, params):
+    from tfhe_tpu.utils import serialization as ser
+
+    cts, p = ser.load_ciphertexts(path)
+    assert p == params, f"parameter mismatch for {path}"
+    return cts
+
+
 def cmd_gate(args):
     import tfhe_tpu as tfhe
     from tfhe_tpu.utils import serialization as ser
 
-    sk = ser.load_server_key(args.server)
-    lhs, p1 = ser.load_ciphertexts(args.lhs)
-    rhs, p2 = ser.load_ciphertexts(args.rhs)
-    assert p1 == sk.params and p2 == sk.params, "parameter mismatch"
-    if args.impl == "ntt":
-        from tfhe_tpu.models.keys import with_ntt_key
-
-        sk = with_ntt_key(sk)
+    sk = _load_server(args)
+    lhs = _load_cts(args.lhs, sk.params)
     t0 = time.time()
     if args.op == "not":
         out = tfhe.gates.not_(sk, lhs)
+        what = f"not on {lhs.shape[0]} ciphertexts"
     else:
-        # index = 2*lhs + rhs
-        out = tfhe.gates.gate(sk, args.op, rhs, lhs, impl=args.impl)
+        rhs = _load_cts(args.rhs, sk.params)
+        if args.op == "mux":
+            sel = _load_cts(args.sel, sk.params)
+            out = tfhe.gates.mux(sk, sel, lhs, rhs, impl=args.impl)
+        else:
+            # index = 2*lhs + rhs
+            out = tfhe.gates.gate(sk, args.op, rhs, lhs, impl=args.impl)
+        what = f"{args.op} on {lhs.shape[0]} ciphertext pairs"
     np.asarray(out)
     ser.save_ciphertexts(args.out, out, sk.params)
-    print(f"{args.op} on {lhs.shape[0]} ciphertext pairs in {time.time()-t0:.1f}s -> {args.out}")
+    print(f"{what} in {time.time()-t0:.1f}s -> {args.out}")
+
+
+def cmd_gate3(args):
+    import tfhe_tpu as tfhe
+    from tfhe_tpu.utils import serialization as ser
+
+    sk = _load_server(args)
+    assert sk.params.log_p >= 3, "3-input gates need a log_p>=3 parameter set"
+    c2 = _load_cts(args.in2, sk.params)
+    c1 = _load_cts(args.in1, sk.params)
+    c0 = _load_cts(args.in0, sk.params)
+    t0 = time.time()
+    out = tfhe.gates.gate3(sk, args.op, c2, c1, c0, impl=args.impl)
+    np.asarray(out)
+    ser.save_ciphertexts(args.out, out, sk.params)
+    print(f"{args.op} on {c0.shape[0]} ciphertext triples in "
+          f"{time.time()-t0:.1f}s -> {args.out}")
+
+
+def cmd_lut(args):
+    import tfhe_tpu as tfhe
+    from tfhe_tpu.utils import serialization as ser
+
+    sk = _load_server(args)
+    cts = _load_cts(args.infile, sk.params)
+    lut = [int(c) for c in args.lut.split(",")]
+    assert len(lut) == 1 << sk.params.log_p, (
+        f"LUT needs 2^log_p = {1 << sk.params.log_p} entries, got {len(lut)}")
+    t0 = time.time()
+    out = tfhe.gates.apply_lut(sk, cts, lut, impl=args.impl)
+    np.asarray(out)
+    ser.save_ciphertexts(args.out, out, sk.params)
+    print(f"lut on {cts.shape[0]} ciphertexts in {time.time()-t0:.1f}s -> {args.out}")
+
+
+def cmd_noise(args):
+    import tfhe_tpu as tfhe
+    from tfhe_tpu.utils import noise as unoise
+    from tfhe_tpu.utils import serialization as ser
+
+    ck = ser.load_client_key(args.client)
+    cts = _load_cts(args.infile, ck.params)
+    if args.expect:
+        want = np.array([int(c) for c in args.expect], dtype=np.uint32)
+        assert want.shape[0] == cts.shape[0], "--expect length != batch"
+    else:
+        # measure against whatever the ciphertexts decode to (margin only)
+        want = np.asarray(tfhe.decrypt(ck, cts))
+    rep = unoise.measure(ck, cts, want)
+    print(rep)
 
 
 def cmd_decrypt(args):
@@ -131,17 +201,44 @@ def main(argv=None):
     en.add_argument("--out", required=True)
     en.add_argument("--seed", type=int, default=1)
 
+    #: every library backend is reachable from the CLI (bench.py exposes the
+    #: same list)
+    impls = ["auto", "conv", "matmul", "pallas", "fused", "fused3",
+             "fusedc", "fusedc3", "bmmp", "ntt"]
+
     ga = sub.add_parser("gate");    ga.set_defaults(fn=cmd_gate)
     ga.add_argument("--server", required=True)
     ga.add_argument("--op", required=True,
-                    choices=["and", "or", "xor", "nand", "nor", "xnor",
-                             "andny", "andyn", "not"])
+                    choices=sorted(list(mtv_gate_names()) + ["not", "mux"]))
     ga.add_argument("--lhs", required=True)
-    ga.add_argument("--rhs", required=False, default=None)
+    ga.add_argument("--rhs", help="required for binary gates (not for 'not')")
+    ga.add_argument("--sel", help="selector ciphertexts (mux only)")
     ga.add_argument("--out", required=True)
-    ga.add_argument("--impl", default="auto",
-                    choices=["auto", "conv", "matmul", "pallas", "fused",
-                             "fused3", "bmmp", "ntt"])
+    ga.add_argument("--impl", default="auto", choices=impls)
+
+    g3 = sub.add_parser("gate3");   g3.set_defaults(fn=cmd_gate3)
+    g3.add_argument("--server", required=True)
+    g3.add_argument("--op", required=True, choices=sorted(mtv_gate3_names()))
+    g3.add_argument("--in2", required=True, help="MSB input (e.g. mux selector)")
+    g3.add_argument("--in1", required=True)
+    g3.add_argument("--in0", required=True, help="LSB input")
+    g3.add_argument("--out", required=True)
+    g3.add_argument("--impl", default="auto", choices=impls)
+
+    lu = sub.add_parser("lut");     lu.set_defaults(fn=cmd_lut)
+    lu.add_argument("--server", required=True)
+    lu.add_argument("--in", dest="infile", required=True)
+    lu.add_argument("--lut", required=True,
+                    help="comma-separated 2^log_p outputs, e.g. 0,1,1,0... ")
+    lu.add_argument("--out", required=True)
+    lu.add_argument("--impl", default="auto", choices=impls)
+
+    no = sub.add_parser("noise");   no.set_defaults(fn=cmd_noise)
+    no.add_argument("--client", required=True)
+    no.add_argument("--in", dest="infile", required=True)
+    no.add_argument("--expect", default="",
+                    help="expected cleartext digits, e.g. 1011 (default: "
+                    "measure against the decoded values)")
 
     de = sub.add_parser("decrypt"); de.set_defaults(fn=cmd_decrypt)
     de.add_argument("--client", required=True)
@@ -152,11 +249,24 @@ def main(argv=None):
     dm.add_argument("--seed", type=int, default=7)
 
     args = ap.parse_args(argv)
-    if args.cmd == "gate" and args.op != "not" and args.rhs is None:
-        ap.error("--rhs required for binary gates")
-    if args.cmd == "gate" and args.op == "not" and args.rhs is None:
-        args.rhs = args.lhs
+    if args.cmd == "gate":
+        if args.op == "mux" and args.sel is None:
+            ap.error("--sel required for mux")
+        if args.op not in ("not",) and args.rhs is None:
+            ap.error("--rhs required for binary gates")
     args.fn(args)
+
+
+def mtv_gate_names():
+    from tfhe_tpu.models.test_vector import GATE_FNS
+
+    return GATE_FNS.keys()
+
+
+def mtv_gate3_names():
+    from tfhe_tpu.models.test_vector import GATE3_FNS
+
+    return GATE3_FNS.keys()
 
 
 if __name__ == "__main__":

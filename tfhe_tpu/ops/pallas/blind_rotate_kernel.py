@@ -50,7 +50,8 @@ NUM_LIMBS = 4
 
 
 def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
-            params: TfheParams, bt: int, n_tiles: int, key_limbs: int):
+            params: TfheParams, bt: int, n_tiles: int, key_limbs: int,
+            skip_expand: bool = False, skip_digits: bool = False):
     n = params.degree
     k1 = params.glwe_dimension + 1
     dp = params.pbs_decomposer
@@ -67,7 +68,9 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
 
     # ---- 1. expand this step's GGSW rows into int8 Toeplitz limb planes,
     # once per step (first tile), shared by all batch tiles via scratch.
-    @pl.when(tile == 0)
+    # (skip_expand/skip_digits are TIMING PROBES ONLY: they produce wrong
+    # results but isolate the expansion / digit-pipeline cost on hardware.)
+    @pl.when((step == 0) & (tile == 0) if skip_expand else (tile == 0))
     def _():
         bk_step = bk_full_ref[0]  # [R*(k+1), N] u32, row-flattened
         # NB: no extra rounding offset when truncating low limbs — the
@@ -113,6 +116,17 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
     ]
     for poly in range(k1):
         accp = acc[poly]  # [bt, N]
+        if skip_digits:  # timing probe: bypass barrel + carry chain
+            d8 = accp.astype(jnp.int8)
+            for j in range(levels):
+                for col in range(k1):
+                    row = (poly * levels + j) * k1 + col
+                    for l in range(key_limbs):
+                        acc4[col][l] += jnp.dot(
+                            d8, w_ref[row * key_limbs + l],
+                            preferred_element_type=jnp.int32,
+                        )
+            continue
         # barrel negacyclic rotation by per-sample exponent a in [0, 2N)
         rot = accp
         for kb in range(bits):
@@ -333,10 +347,13 @@ def blind_rotate_fused_cols(params: TfheParams, acc0, bk_u32, a_hat,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "interpret", "batch_tile", "key_limbs")
+    jax.jit,
+    static_argnames=("params", "interpret", "batch_tile", "key_limbs",
+                     "skip_expand", "skip_digits"),
 )
 def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
-                       batch_tile: int | None = None, key_limbs: int = NUM_LIMBS):
+                       batch_tile: int | None = None, key_limbs: int = NUM_LIMBS,
+                       skip_expand: bool = False, skip_digits: bool = False):
     """acc0 u32[B, k+1, N], bk u32[n, R, k+1, N], a_hat int32[n, B] -> final acc.
 
     The whole batch stays VMEM-resident ([T, k+1, bt, N] in/out blocks) and
@@ -368,7 +385,8 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
     bk_flat = bk_u32.reshape(steps, r_dim * k1, n)  # rows (r, col) flattened
     out = pl.pallas_call(
         functools.partial(_kernel, params=params, bt=bt, n_tiles=n_tiles,
-                          key_limbs=key_limbs),
+                          key_limbs=key_limbs, skip_expand=skip_expand,
+                          skip_digits=skip_digits),
         grid=(steps, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, bt, 1), lambda s, t: (s, t, 0, 0),

@@ -75,6 +75,16 @@ def make_host_mesh(
             (1, batch, model), (host, 1, 1), devices=devices
         ).reshape(host, batch, model)
     else:
+        if jax.process_count() > 1:
+            import warnings
+
+            warnings.warn(
+                f"make_host_mesh: host={host} != process_count="
+                f"{jax.process_count()}; falling back to a plain reshape — "
+                "batch/model collectives may cross DCN (correct but slow). "
+                "Pass host=jax.process_count() for the DCN-major hybrid layout.",
+                stacklevel=2,
+            )
         arr = np.array(devices).reshape(host, batch, model)
     return Mesh(arr, (HOST_AXIS, BATCH_AXIS, MODEL_AXIS))
 

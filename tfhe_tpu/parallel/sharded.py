@@ -213,8 +213,18 @@ def make_sharded_gate(
     mesh has a model axis > 1 (int32 psum per scan step, bit-identical to
     unsharded execution).  ``interpret`` runs the Pallas kernel in interpret
     mode (CPU tests of the real sharded call path).
+
+    ``use_model_axis`` accepts True/False (explicit), None (shard whenever the
+    mesh has a model axis — maximal-parallelism default used by tests), or the
+    string ``"policy"`` to consult ``mesh.plan_key_placement``: replicate keys
+    when they fit the per-device HBM budget (zero steady-state collectives),
+    row-shard them over ``model`` otherwise.
     """
     model_n = mesh.shape[MODEL_AXIS]
+    if use_model_axis == "policy":
+        from tfhe_tpu.parallel.mesh import plan_key_placement
+
+        use_model_axis = plan_key_placement(params, mesh).shard_bk_rows
     if use_model_axis is None:
         use_model_axis = model_n > 1
     model_axis = MODEL_AXIS if use_model_axis else None

@@ -159,6 +159,57 @@ class TfheParams:
     def replace(self, **kw) -> "TfheParams":
         return dataclasses.replace(self, **kw)
 
+    def __post_init__(self):
+        validate(self)
+
+
+def validate(p: TfheParams) -> None:
+    """Assert the int-exactness preconditions of every contraction path.
+
+    The framework's exactness argument (ops/torus.py:76-87) is that all u32
+    wrapping contractions run as int8 x int8 -> int32 MXU matmuls whose
+    accumulators never overflow.  The registry sets satisfy these by
+    construction; a user-built ``TfheParams`` is rejected here at
+    construction time instead of silently producing wrong ciphertexts.
+    Raises ``ValueError`` with the violated bound.
+    """
+    if p.log_q != 32:
+        raise ValueError(f"log_q must be 32 (u32 torus); got {p.log_q}")
+    if p.log_p + p.padding_bits >= p.log_q:
+        raise ValueError("log_p + padding_bits must be < log_q")
+    if p.log_p < 1 or p.padding_bits < 0:
+        raise ValueError("need log_p >= 1 and padding_bits >= 0")
+    if p.glwe_dimension < 1 or p.lwe_dimension < 1 or p.log_degree < 1:
+        raise ValueError("dimensions must be positive")
+    n, k = p.degree, p.glwe_dimension
+    for tag, dp, rows in (
+        # external product: digits [B, R*N] x Toeplitz limbs [R*N, N];
+        # int32 accumulates R*N products of |digit|<=base/2 by |limb|<=128
+        ("pbs", p.pbs_decomposer, (k + 1) * p.pbs_decomposer.levels * n),
+        # key switch: digits [B, kN*l] x KSK limbs [kN*l, (n+1)*4]
+        ("ks", p.ks_decomposer, k * n * p.ks_decomposer.levels),
+    ):
+        if dp.log_q != p.log_q:
+            raise ValueError(f"{tag} decomposer log_q {dp.log_q} != {p.log_q}")
+        # signed digits must fit the (log_base+2)-bit int8 sign-extension
+        # trick used by the fused kernels (blind_rotate_kernel.py)
+        if dp.log_base + 2 > 8:
+            raise ValueError(
+                f"{tag} decomposer log_base {dp.log_base} > 6: digits do not "
+                "fit the int8 MXU path")
+        # digits reach +base (not base/2) at the +B carry anomaly
+        # (src/decomposer.rs:42-80; see docs/ARCHITECTURE.md section 4)
+        worst = rows * dp.base * 128
+        if worst >= 1 << 31:
+            raise ValueError(
+                f"{tag} contraction bound violated: {rows} accumulated "
+                f"products x max digit {dp.base} x limb 128 = {worst} "
+                f">= 2^31; int32 accumulation would overflow")
+    # keygen / encryption matvec (ops/torus.py:wrapping_matvec_u32_small):
+    # K=N limb products against binary Toeplitz entries (|w| <= 1)
+    if n * 128 >= 1 << 31:
+        raise ValueError(f"degree {n} too large for exact limb matvec")
+
 
 def _mk(name: str, *, k: int, log_degree: int, n: int, log_p: int = 2) -> TfheParams:
     return TfheParams(
@@ -188,6 +239,13 @@ PARAMS: dict[str, TfheParams] = {
     # notes/Boolean Gates.md:7-11); message space Z_8, same lattice dims
     "test_insecure_3in": _mk("test_insecure_3in", k=2, log_degree=9, n=4, log_p=3),
     "default_128_3in": _mk("default_128_3in", k=2, log_degree=9, n=722, log_p=3),
+    # large-degree profiles (k=1, N=2048/4096): the block-NTT tier's target
+    # regime (NOTES_NTT.md) — Toeplitz cost grows as N^2 while block-NTT's
+    # merged contraction grows ~N*N2; same noise family as default_128 (noise
+    # margin validated by the bench's same-run check).  No reference
+    # counterpart (the reference is fixed at N=512, src/lib.rs:101-123).
+    "large_2048": _mk("large_2048", k=1, log_degree=11, n=722),
+    "large_4096": _mk("large_4096", k=1, log_degree=12, n=722),
 }
 
 
