@@ -61,6 +61,9 @@ def main():
                     help="skip the per-stage breakdown timings")
     ap.add_argument("--trace", default="",
                     help="capture a jax profiler trace of one gate call to this dir")
+    ap.add_argument("--latency", action="store_true",
+                    help="also measure single-gate latency at small batches "
+                         "(1/16/64/256) — time-to-first-result, not throughput")
     args = ap.parse_args()
 
     import tfhe_tpu as tfhe
@@ -163,6 +166,21 @@ def main():
             "key_switch": round(t_ks * 1e3, 2),
         }
         log(f"stages: {breakdown['stages_ms']}")
+
+    if args.latency:
+        # small-batch gate latency: how long ONE call takes when you have few
+        # gates to evaluate (the reference's unit of work is a single gate,
+        # src/boolean.rs:9-30).  Separate jit per batch size (static shapes).
+        lat = {}
+        for b in (1, 16, 64, 256):
+            if b > batch:
+                continue
+            fb = jax.jit(gate)
+            c0b, c1b = ct0[:b], ct1[:b]
+            t, _ = time_best(fb, max(iters, 3), c0b, c1b, sk)
+            lat[str(b)] = round(t * 1e3, 2)
+            log(f"latency batch={b}: {t*1e3:.1f}ms")
+        breakdown["latency_ms"] = lat
 
     if args.trace:
         from tfhe_tpu.utils.profiling import capture_trace

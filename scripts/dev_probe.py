@@ -7,8 +7,11 @@ skip_digits timing probes to split per-step cost into
 Prints one line per config.  Run on the real TPU.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -57,8 +60,15 @@ def run(tag, **kw):
           f"{B/best:7.1f} rot/s  (compile {compile_s:.0f}s){exact}", flush=True)
 
 
-run("bt=512", batch_tile=512)
-run("bt=512 skip_expand", batch_tile=512, skip_expand=True)
-run("bt=512 skip_digits", batch_tile=512, skip_digits=True)
-run("bt=512 skip_both", batch_tile=512, skip_expand=True, skip_digits=True)
-run("bt=512 3limb", batch_tile=512, key_limbs=3)
+which = os.environ.get("PROBE", "wide")
+if which == "wide":
+    run("wide bt=512", batch_tile=512, wide=True)
+    run("narrow bt=512", batch_tile=512, wide=False)
+    run("wide bt=768", batch_tile=768, wide=True)
+    run("wide bt=512 3limb", batch_tile=512, wide=True, key_limbs=3)
+else:
+    run("bt=512", batch_tile=512, wide=False)
+    run("bt=512 skip_expand", batch_tile=512, skip_expand=True)
+    run("bt=512 skip_digits", batch_tile=512, skip_digits=True)
+    run("bt=512 skip_both", batch_tile=512, skip_expand=True, skip_digits=True)
+    run("bt=512 3limb", batch_tile=512, key_limbs=3)

@@ -242,6 +242,44 @@ class TestBitExactBootstrap:
         )
         assert np.array_equal(ours, want)
 
+    def test_fused_wide_equals_narrow_nano(self):
+        """The wide-dot fused kernel (lane-concatenated digit planes, single
+        [R_d*N, CL*N] Toeplitz scratch, aliased acc) is bit-identical to the
+        narrow per-plane kernel — random-tensor harness (wrapping-u32
+        exactness makes random keys as good as real ones)."""
+        from tfhe_tpu.ops.pallas.blind_rotate_kernel import blind_rotate_fused
+
+        p = get_params("nano")
+        n, k1, N = p.lwe_dimension, p.glwe_dimension + 1, p.degree
+        rows = k1 * p.pbs_decomposer.levels
+        key = jax.random.key(7)
+        ka, kb, kc = jax.random.split(key, 3)
+        bk = jax.random.bits(ka, (n, rows, k1, N), jnp.uint32)
+        acc0 = jax.random.bits(kb, (8, k1, N), jnp.uint32)
+        a_hat = jax.random.randint(kc, (n, 8), 0, 2 * N, jnp.int32)
+        ref = blind_rotate_fused(p, acc0, bk, a_hat, interpret=True,
+                                 wide=False, batch_tile=4)
+        for bt in (4, 8):
+            got = blind_rotate_fused(p, acc0, bk, a_hat, interpret=True,
+                                     wide=True, batch_tile=bt)
+            assert bool(jnp.all(ref == got)), bt
+
+    def test_fused_batch_chunking_exact(self, monkeypatch):
+        """Batches above _FUSED_MAX_BATCH split into independent pallas_calls
+        with identical results (models/bootstrap.py:blind_rotate)."""
+        from tfhe_tpu.models import keys as mkeys
+        from tfhe_tpu.ops.torus import switch_modulus
+
+        p = get_params("nano")
+        ck, sk = jax.jit(lambda s: mkeys.keygen(p, s))(jax.random.key(3))
+        tv = jnp.asarray(mtv.identity_test_vector(p))
+        cts = tfhe.encrypt(ck, np.arange(6, dtype=np.uint32) % 4, key=9)
+        approx = switch_modulus(cts, p.log_q, p.log_degree + 1)
+        whole = mboot.blind_rotate(p, approx, sk, tv, impl="fused_interpret")
+        monkeypatch.setattr(mboot, "_FUSED_MAX_BATCH", 4)
+        chunked = mboot.blind_rotate(p, approx, sk, tv, impl="fused_interpret")
+        assert np.array_equal(np.asarray(whole), np.asarray(chunked))
+
     def test_full_pbs_bit_exact_pallas_interpret(self, shared):
         """Pallas backend (interpret mode on CPU) is bit-identical too —
         covers the level-major digit rows + bk_lm permutation + VMEM-layout

@@ -28,10 +28,10 @@ class TestNativeOracle:
         r = native.recompose(d, dp.log_base, dp.levels, dp.log_q)
         assert np.array_equal(r, g.round_value(v, dp))
 
-    def test_exhaustive_selfcheck_64M(self):
-        # the reference sweeps 0..1e8 in Rust (src/decomposer.rs:102-115);
-        # C++ covers a 64M contiguous range here in ~1s, plus a high range
-        assert native.decomposer_selfcheck(0, 1 << 26, 4, 7, 32) == 0
+    def test_exhaustive_selfcheck_100M(self):
+        # full parity with the reference's 0..100_000_000 sweep
+        # (src/decomposer.rs:102-115), plus a high wrap-adjacent range
+        assert native.decomposer_selfcheck(0, 100_000_000, 4, 7, 32) == 0
         assert native.decomposer_selfcheck((1 << 32) - (1 << 24), 1 << 24, 4, 7, 32) == 0
 
     def test_negacyclic_mul(self, rng):

@@ -45,6 +45,12 @@ from tfhe_tpu.ops.torus import switch_modulus, u32
 from tfhe_tpu.params import TfheParams
 
 
+# biggest batch one whole-scan pallas_call keeps VMEM-resident: at default_128
+# the aliased acc window is B*6KB against a ~116MB budget with the 57MB
+# Toeplitz scratch (ops/pallas/blind_rotate_kernel.py); 4096 leaves margin
+_FUSED_MAX_BATCH = 4096
+
+
 def resolve_impl(impl: str) -> str:
     """'auto' -> 'pallas' on TPU, 'conv' elsewhere."""
     if impl != "auto":
@@ -241,6 +247,19 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     (the *encoded* test vector, src/bootstrapping.rs:82-86).
     """
     impl = resolve_impl(impl)
+    if impl.startswith(("fused",)) and approx_ct.shape[0] > _FUSED_MAX_BATCH:
+        # the whole-scan kernels keep the batch VMEM-resident; chunk bigger
+        # batches into independent pallas_calls (exact: samples are
+        # independent).  Static shapes: batch is a compile-time constant.
+        b = approx_ct.shape[0]
+        cuts = list(range(0, b, _FUSED_MAX_BATCH)) + [b]
+        return jnp.concatenate(
+            [
+                blind_rotate(params, approx_ct[lo:hi], server_key, tv_encoded, impl)
+                for lo, hi in zip(cuts[:-1], cuts[1:])
+            ],
+            axis=0,
+        )
     if impl in ("fusedc", "fusedc3", "fusedc_interpret"):
         # column-split whole-scan kernel: bt=512 tiles balance the MXU's
         # weight-load latency (ops/pallas/blind_rotate_kernel.py:_kernel_cols)

@@ -49,6 +49,145 @@ from tfhe_tpu.params import TfheParams
 NUM_LIMBS = 4
 
 
+def _rotate_negacyclic(accp, a, coeff, n: int):
+    """acc * X^a for per-sample exponents a in [0, 2N): a CYCLIC barrel over
+    the low log2(N) exponent bits (2 VPU ops per stage) followed by one
+    closed-form sign fix — out[i] = (-1)^{floor(((i-a) mod 2N)/N)} *
+    in[(i-a) mod N].  Saves ~45% of the barrel's VPU ops vs negating inside
+    every stage (the old 4-op stages; cf. src/utils.rs:183-207 semantics).
+    """
+    rot = accp
+    for kb in range(n.bit_length() - 1):  # log2(N) cyclic stages
+        s = 1 << kb
+        r = pltpu.roll(rot, s, 1)
+        rot = jnp.where(((a >> kb) & 1) == 1, r, rot)
+    wrapped = ((coeff - a) & jnp.int32(2 * n - 1)) >= n
+    return jnp.where(wrapped, -rot, rot)
+
+
+def _decompose_kept_int8(diff, dp):
+    """Exact signed decomposition (src/decomposer.rs:42-80) -> MSB-first list
+    of `levels` int8 digit planes.
+
+    round_value zeroes the low `ignored_bits`; since log_base | log_q, every
+    digit below l_full-levels is then identically zero and carries nothing,
+    so the carry chain starts at the first kept digit with carry=0.  Digits
+    land in [-B/2, B] (the +B carry anomaly), which the (log_base+2)-bit
+    sign-extension trick converts to int8 without a 32->8 bit cast chain.
+    """
+    ig = dp.ignored_bits
+    base_mask = jnp.uint32((1 << dp.log_base) - 1)
+    half = jnp.uint32(1 << (dp.log_base - 1))
+    sb = dp.log_base + 2
+    m8 = jnp.uint32((1 << sb) - 1)
+    top = jnp.uint32(1 << (sb - 1))
+    if ig:
+        msb = (diff & jnp.uint32((1 << ig) - 1)) >> jnp.uint32(ig - 1)
+        val = ((diff >> jnp.uint32(ig)) + msb) << jnp.uint32(ig)
+    else:
+        val = diff
+    carry = jnp.zeros_like(val)
+    kept = []
+    for l in range(dp.l_full - dp.levels, dp.l_full):
+        res = ((val >> jnp.uint32(dp.log_base * l)) & base_mask) + carry
+        cm = res & half
+        res = res - (cm << jnp.uint32(1))
+        carry = cm >> jnp.uint32(dp.log_base - 1)
+        kept.append(res)
+    kept.reverse()  # MSB-first, matching the reference truncation
+    return [
+        ((d & m8).astype(jnp.int32) - 2 * (d & top).astype(jnp.int32)).astype(
+            jnp.int8
+        )
+        for d in kept
+    ]
+
+
+def _kernel_wide(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
+                 params: TfheParams, bt: int, n_tiles: int, key_limbs: int):
+    """Wide-dot variant of ``_kernel``: same math, MXU-friendlier shapes.
+
+    The Toeplitz scratch is laid out as ONE int8 matrix
+    [R_d*N, (k+1)*key_limbs*N] (R_d = (k+1)*levels digit rows) instead of
+    R_d*(k+1)*key_limbs separate [N, N] planes, and each poly's `levels`
+    digit planes are lane-concatenated into [bt, levels*N].  The per-tile
+    contraction is then k+1 dots of [bt, levels*N] x [levels*N, 12N] instead
+    of 216 dots of [bt, N] x [N, N]: 72x fewer accumulator read-modify-writes
+    and long weight streams through the MXU.  Measured (v5e, default_128,
+    B=3072, bt=512): 730.9ms vs the narrow kernel's 841.5ms (+15%).
+
+    Also trims the decomposition carry chain and uses the cyclic-barrel
+    rotation (see the module helpers).  NB: input/output aliasing does NOT
+    work here — on hardware Mosaic allocates separate VMEM windows for the
+    aliased operand and output, so the output window starts UNINITIALIZED
+    (measured: bit-mismatch on v5e while interpret mode, which does seed the
+    aliased output, passes) — hence the same explicit step-0 copy as
+    ``_kernel``.
+    """
+    n = params.degree
+    k1 = params.glwe_dimension + 1
+    dp = params.pbs_decomposer
+    levels = dp.levels
+    r_d = k1 * levels  # digit rows
+    cl = k1 * key_limbs  # output column blocks
+    drop = NUM_LIMBS - key_limbs
+
+    step = pl.program_id(0)
+    tile = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[tile] = acc_in_ref[tile]
+
+    # ---- expand this step's GGSW rows once per step (first tile); row block
+    # rd = poly*levels + level holds GGSW row rd*k1 + col's limb planes at
+    # column block col*key_limbs + limb (see _kernel for the sign/limb notes)
+    @pl.when(tile == 0)
+    def _():
+        bk_step = bk_full_ref[0]  # [R_d*(k+1), N] u32
+        for rd in range(r_d):
+            for col in range(k1):
+                g = bk_step[rd * k1 + col : rd * k1 + col + 1, :]
+                g_ext = jnp.concatenate([g, -g], axis=1)  # sign in u32
+                base = jnp.broadcast_to(g_ext, (n, 2 * n))
+                circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
+                w = circ[:, :n] + jnp.uint32(0x80808080)
+                for i, l in enumerate(range(drop, NUM_LIMBS)):
+                    limb = ((w >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32
+                    ) - 128
+                    c0 = (col * key_limbs + i) * n
+                    w_ref[rd * n : (rd + 1) * n, c0 : c0 + n] = limb.astype(
+                        jnp.int8
+                    )
+
+    acc = acc_ref[tile]  # [k+1, bt, N] u32
+    a = a_ref[0, 0]  # [bt, 1] int32
+    coeff = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
+
+    comb = jnp.zeros((bt, cl * n), jnp.int32)
+    for poly in range(k1):
+        accp = acc[poly]  # [bt, N]
+        rot = _rotate_negacyclic(accp, a, coeff, n)
+        d8s = _decompose_kept_int8(rot - accp, dp)
+        dp_cat = jnp.concatenate(d8s, axis=1)  # [bt, levels*N]
+        comb += jnp.dot(
+            dp_cat,
+            w_ref[poly * levels * n : (poly + 1) * levels * n, :],
+            preferred_element_type=jnp.int32,
+        )
+    new_planes = []
+    for col in range(k1):
+        delta = jnp.zeros((bt, n), jnp.uint32)
+        for i, l in enumerate(range(drop, NUM_LIMBS)):
+            c0 = (col * key_limbs + i) * n
+            delta = delta + (
+                comb[:, c0 : c0 + n].astype(jnp.uint32) << jnp.uint32(8 * l)
+            )
+        new_planes.append(acc[col] + delta)
+    acc_ref[tile] = jnp.stack(new_planes)
+
+
 def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
             params: TfheParams, bt: int, n_tiles: int, key_limbs: int,
             skip_expand: bool = False, skip_digits: bool = False):
@@ -96,14 +235,6 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
     acc = acc_ref[tile]  # [k+1, bt, N] u32 (plane-major)
     a = a_ref[0, 0]  # [bt, 1] int32 (2-D tile, block-streamed per (step, tile))
     coeff = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
-    bits = (2 * n - 1).bit_length()
-    ig = dp.ignored_bits
-    base_mask = jnp.uint32((1 << dp.log_base) - 1)
-    half = jnp.uint32(1 << (dp.log_base - 1))
-    # sign-extension constants for the (log_base+2)-bit int8 trick
-    sb = dp.log_base + 2
-    m8 = jnp.uint32((1 << sb) - 1)
-    top = jnp.uint32(1 << (sb - 1))
 
     # ---- 2-4. interleaved per-poly rotation/decomposition (VPU) and MXU
     # contraction: poly p's matmuls depend only on poly p's digits, so
@@ -117,47 +248,11 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
     for poly in range(k1):
         accp = acc[poly]  # [bt, N]
         if skip_digits:  # timing probe: bypass barrel + carry chain
-            d8 = accp.astype(jnp.int8)
-            for j in range(levels):
-                for col in range(k1):
-                    row = (poly * levels + j) * k1 + col
-                    for l in range(key_limbs):
-                        acc4[col][l] += jnp.dot(
-                            d8, w_ref[row * key_limbs + l],
-                            preferred_element_type=jnp.int32,
-                        )
-            continue
-        # barrel negacyclic rotation by per-sample exponent a in [0, 2N)
-        rot = accp
-        for kb in range(bits):
-            s = 1 << kb
-            if s >= n:
-                rolled = -rot
-            else:
-                r = pltpu.roll(rot, s, 1)
-                rolled = jnp.where(coeff < s, -r, r)
-            rot = jnp.where(((a >> kb) & 1) == 1, rolled, rot)
-        # exact signed decomposition of diff (carry chain, MSB-first)
-        diff = rot - accp
-        if ig:
-            msb = (diff & jnp.uint32((1 << ig) - 1)) >> jnp.uint32(ig - 1)
-            val = ((diff >> jnp.uint32(ig)) + msb) << jnp.uint32(ig)
+            kept8 = [accp.astype(jnp.int8)] * levels
         else:
-            val = diff
-        carry = jnp.zeros_like(val)
-        kept = []  # low->high; only the top `levels` digits are stored
-        for l in range(dp.l_full):
-            res = ((val >> jnp.uint32(dp.log_base * l)) & base_mask) + carry
-            cm = res & half
-            res = res - (cm << jnp.uint32(1))
-            carry = cm >> jnp.uint32(dp.log_base - 1)
-            if l >= dp.l_full - levels:
-                kept.append(res)
-        kept.reverse()  # MSB-first, matching the reference truncation
-        for j, d in enumerate(kept):
-            d8 = (
-                (d & m8).astype(jnp.int32) - 2 * (d & top).astype(jnp.int32)
-            ).astype(jnp.int8)
+            rot = _rotate_negacyclic(accp, a, coeff, n)
+            kept8 = _decompose_kept_int8(rot - accp, dp)
+        for j, d8 in enumerate(kept8):
             for col in range(k1):
                 row = (poly * levels + j) * k1 + col  # canonical GGSW order
                 for l in range(key_limbs):
@@ -229,13 +324,6 @@ def _kernel_cols(a_ref, acc_in_ref, bk_ref, acc_ref, w_ref, d_ref, *,
 
     a = a_ref[0, 0]  # [bt, 1] int32
     coeff = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
-    bits = (2 * n - 1).bit_length()
-    ig = dp.ignored_bits
-    base_mask = jnp.uint32((1 << dp.log_base) - 1)
-    half = jnp.uint32(1 << (dp.log_base - 1))
-    sb = dp.log_base + 2
-    m8 = jnp.uint32((1 << sb) - 1)
-    top = jnp.uint32(1 << (sb - 1))
 
     # ---- digits once per (step, tile): col==0 rotates/decomposes from the
     # step-start accumulator (no column has updated it yet) into the shared
@@ -244,35 +332,8 @@ def _kernel_cols(a_ref, acc_in_ref, bk_ref, acc_ref, w_ref, d_ref, *,
     def _():
         for poly in range(k1):
             accp = acc_ref[tile, poly]  # [bt, N] u32
-            rot = accp
-            for kb in range(bits):
-                s = 1 << kb
-                if s >= n:
-                    rolled = -rot
-                else:
-                    r = pltpu.roll(rot, s, 1)
-                    rolled = jnp.where(coeff < s, -r, r)
-                rot = jnp.where(((a >> kb) & 1) == 1, rolled, rot)
-            diff = rot - accp
-            if ig:
-                msb = (diff & jnp.uint32((1 << ig) - 1)) >> jnp.uint32(ig - 1)
-                val = ((diff >> jnp.uint32(ig)) + msb) << jnp.uint32(ig)
-            else:
-                val = diff
-            carry = jnp.zeros_like(val)
-            kept = []
-            for l in range(dp.l_full):
-                res = ((val >> jnp.uint32(dp.log_base * l)) & base_mask) + carry
-                cm = res & half
-                res = res - (cm << jnp.uint32(1))
-                carry = cm >> jnp.uint32(dp.log_base - 1)
-                if l >= dp.l_full - levels:
-                    kept.append(res)
-            kept.reverse()
-            for j, d in enumerate(kept):
-                d8 = (
-                    (d & m8).astype(jnp.int32) - 2 * (d & top).astype(jnp.int32)
-                ).astype(jnp.int8)
+            rot = _rotate_negacyclic(accp, a, coeff, n)
+            for j, d8 in enumerate(_decompose_kept_int8(rot - accp, dp)):
                 d_ref[tile, poly * levels + j] = d8
 
     # ---- this column's contraction: R digit rows x key_limbs planes
@@ -349,17 +410,23 @@ def blind_rotate_fused_cols(params: TfheParams, acc0, bk_u32, a_hat,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "interpret", "batch_tile", "key_limbs",
-                     "skip_expand", "skip_digits"),
+                     "skip_expand", "skip_digits", "wide"),
 )
 def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
                        batch_tile: int | None = None, key_limbs: int = NUM_LIMBS,
-                       skip_expand: bool = False, skip_digits: bool = False):
+                       skip_expand: bool = False, skip_digits: bool = False,
+                       wide: bool = True):
     """acc0 u32[B, k+1, N], bk u32[n, R, k+1, N], a_hat int32[n, B] -> final acc.
 
     The whole batch stays VMEM-resident ([T, k+1, bt, N] in/out blocks) and
     the Toeplitz scratch is R*(k+1)*key_limbs*N*N int8 (~57MB at default_128
-    with the exact 4-limb key), so B<=2048 fits the 128MB VMEM at bt=256.
-    Bigger batches should vmap or split at the caller.
+    with the exact 4-limb key); the acc window is input/output-aliased, so
+    B<=4096 fits the 128MB VMEM at the default bt=512.  Bigger batches are
+    chunked by the caller (models/bootstrap.py:blind_rotate).
+
+    ``wide=True`` (default) uses the wide-dot kernel (see ``_kernel_wide``);
+    ``wide=False`` keeps the original per-plane kernel, which also carries
+    the skip_expand/skip_digits timing probes.
 
     ``key_limbs=4`` (default) is the exact mod-2^32 path, bit-identical to
     the scan backends.  ``key_limbs=3`` truncates the low key byte with
@@ -372,7 +439,15 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
     batch, k1, n = acc0.shape
     steps, r_dim = bk_u32.shape[0], bk_u32.shape[1]
     assert 1 <= key_limbs <= NUM_LIMBS
-    bt = batch_tile or min(batch, 256)
+    if skip_expand or skip_digits:
+        wide = False  # probes live in the narrow kernel only
+    if batch_tile is None:
+        # largest divisor of batch <= the per-generation sweet spot (512 for
+        # the aliased wide kernel, 256 narrow — ARTIFACTS/probe_r3*.log)
+        cap = 512 if wide else 256
+        bt = next(t for t in range(min(batch, cap), 0, -1) if batch % t == 0)
+    else:
+        bt = batch_tile
     assert batch % bt == 0, (batch, bt)
     n_tiles = batch // bt
 
@@ -383,10 +458,18 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
     # 128x -> 378MB of VMEM at default_128/B=1024; streaming pads one block)
     a_tiles = a_hat.reshape(steps, n_tiles, bt, 1)
     bk_flat = bk_u32.reshape(steps, r_dim * k1, n)  # rows (r, col) flattened
+    if wide:
+        kern = functools.partial(_kernel_wide, params=params, bt=bt,
+                                 n_tiles=n_tiles, key_limbs=key_limbs)
+        scratch = pltpu.VMEM((r_dim * n, k1 * key_limbs * n), jnp.int8)
+    else:
+        kern = functools.partial(_kernel, params=params, bt=bt,
+                                 n_tiles=n_tiles, key_limbs=key_limbs,
+                                 skip_expand=skip_expand,
+                                 skip_digits=skip_digits)
+        scratch = pltpu.VMEM((r_dim * k1 * key_limbs, n, n), jnp.int8)
     out = pl.pallas_call(
-        functools.partial(_kernel, params=params, bt=bt, n_tiles=n_tiles,
-                          key_limbs=key_limbs, skip_expand=skip_expand,
-                          skip_digits=skip_digits),
+        kern,
         grid=(steps, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, bt, 1), lambda s, t: (s, t, 0, 0),
@@ -401,9 +484,7 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, k1, bt, n), jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((r_dim * k1 * key_limbs, n, n), jnp.int8),
-        ],
+        scratch_shapes=[scratch],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=116 * 1024 * 1024,
