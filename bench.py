@@ -53,7 +53,8 @@ def main():
     ap.add_argument("--batch", type=int, default=0, help="0 = default for impl")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "conv", "matmul", "pallas", "fused",
-                             "fused3", "fusedc", "fusedc3", "bmmp", "ntt"])
+                             "fused3", "fusedc", "fusedc3", "fusedp", "bmmp",
+                             "ntt", "ntts"])
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-check", action="store_true",
                     help="skip the same-run correctness/noise verification")

@@ -61,7 +61,33 @@ def run(tag, **kw):
 
 
 which = os.environ.get("PROBE", "wide")
-if which == "wide":
+if which == "pipe":
+    from tfhe_tpu.ops.pallas.blind_rotate_kernel import blind_rotate_fused_pipe
+
+    def run_pipe(tag, **kw):
+        global ref_out
+        f = lambda: blind_rotate_fused_pipe(params, acc0, bk, a_hat, **kw)
+        t0 = time.perf_counter()
+        out = f()
+        _ = float(jnp.sum(out))
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f()
+            _ = float(jnp.sum(out))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        exact = ""
+        if kw.get("key_limbs", 4) == 4 and ref_out is not None:
+            exact = " EXACT" if bool(jnp.all(out == ref_out)) else " MISMATCH!"
+        print(f"{tag:28s} best {best*1e3:7.1f}ms  {best*1e6/n:7.1f}us/step  "
+              f"{B/best:7.1f} rot/s  (compile {compile_s:.0f}s){exact}",
+              flush=True)
+
+    run("narrow bt=512", batch_tile=512, wide=False)
+    run_pipe("pipe bt=512", batch_tile=512)
+elif which == "wide":
     run("wide bt=512", batch_tile=512, wide=True)
     run("narrow bt=512", batch_tile=512, wide=False)
     run("wide bt=768", batch_tile=768, wide=True)

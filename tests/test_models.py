@@ -201,6 +201,48 @@ class TestBitExactBootstrap:
         ours = np.asarray(mboot.pbs(p, cts, server_ntt, tv_enc, impl="ntt"))
         assert np.array_equal(ours, want)
 
+    def test_full_pbs_bit_exact_ntt_streaming(self, shared):
+        """Streaming NTT backend (impl='ntts'): per-step key transform inside
+        the scan, no resident NTT key — bit-identical to golden.  This is the
+        only runnable NTT mode at N >= 2048, where the resident key would
+        exceed HBM (models/keys.py:with_ntt_key guard)."""
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(27)
+        p = TEST
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (2, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        cts = np.stack([
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
+            for m in range(2)
+        ])
+        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
+                         for i in range(2)])
+        ours = np.asarray(mboot.pbs(p, cts, server, tv_enc, impl="ntts"))
+        assert np.array_equal(ours, want)
+
+    def test_full_pbs_bit_exact_fusedp_interpret(self, shared):
+        """Software-pipelined whole-scan kernel (interpret mode): parity
+        double-buffered digit staging preserves exact CMUX semantics."""
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(28)
+        p = TEST
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (2, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        cts = np.stack([
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
+            for m in range(2)
+        ])
+        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
+                         for i in range(2)])
+        ours = np.asarray(
+            mboot.pbs(p, cts, server, tv_enc, impl="fusedp_interpret")
+        )
+        assert np.array_equal(ours, want)
+
     def test_full_pbs_bit_exact_fused_interpret(self, shared):
         """Whole-scan fused Pallas kernel (interpret mode on CPU) is
         bit-identical to the golden pipeline."""

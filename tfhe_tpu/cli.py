@@ -204,7 +204,7 @@ def main(argv=None):
     #: every library backend is reachable from the CLI (bench.py exposes the
     #: same list)
     impls = ["auto", "conv", "matmul", "pallas", "fused", "fused3",
-             "fusedc", "fusedc3", "bmmp", "ntt"]
+             "fusedc", "fusedc3", "fusedp", "bmmp", "ntt", "ntts"]
 
     ga = sub.add_parser("gate");    ga.set_defaults(fn=cmd_gate)
     ga.add_argument("--server", required=True)

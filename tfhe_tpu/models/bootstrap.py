@@ -159,20 +159,33 @@ def rotate_chunk_pallas(params, acc, bk_lm_chunk, a_chunk, interpret=False):
     return jnp.swapaxes(acc_t, 0, 1)
 
 
-def rotate_chunk_ntt(params, acc, bk_ntt_chunk, a_chunk):
-    """Block-NTT rotation chunk ([B, k+1, N] acc; bk from ``with_ntt_key``)."""
-    from tfhe_tpu.ops.ntt import ep_contract_ntt, plan_for_params
+def rotate_chunk_ntt(params, acc, bk_chunk, a_chunk, stream: bool = False):
+    """Block-NTT rotation chunk ([B, k+1, N] acc).
+
+    ``stream=False``: ``bk_chunk`` is the precomputed NTT-domain key from
+    ``with_ntt_key`` (int8; best when the whole key fits HBM — ~1.9GB at
+    default_128).  ``stream=True``: ``bk_chunk`` is the canonical u32 key;
+    each step's GGSW rows are transformed to NTT domain INSIDE the scan.
+    The transform is batch-independent (one key-side forward NTT per step,
+    ~1% of the per-step MACs at B>=64), so streaming trades nothing at real
+    batch sizes while keeping HBM at the canonical key's size — at
+    large_2048 the resident NTT key would be 722 x 25MB = 18GB and cannot
+    exist; streaming is the only way to run the MAC-optimal plan there.
+    """
+    from tfhe_tpu.ops.ntt import ep_contract_ntt, make_ep_ntt_key, plan_for_params
 
     k = params.glwe_dimension
     plan = plan_for_params(params)
 
     def step(a, xs):
         bk_i, a_i = xs
+        if stream:
+            bk_i = make_ep_ntt_key(bk_i, plan)
         rot = mglwe.mul_monomial(a, a_i)
         digits = mglwe.decompose(rot - a, params.pbs_decomposer)
         return a + ep_contract_ntt(digits, bk_i, plan, c_dim=k + 1), None
 
-    acc, _ = lax.scan(step, acc, (bk_ntt_chunk, a_chunk))
+    acc, _ = lax.scan(step, acc, (bk_chunk, a_chunk))
     return acc
 
 
@@ -193,13 +206,14 @@ def _blind_rotate_pallas(params, approx_ct, bk_lm, tv_encoded, interpret=False):
     return rotate_chunk_pallas(params, acc0, bk_lm, a_hat, interpret)
 
 
-def _blind_rotate_ntt(params, approx_ct, bk_ntt, tv_encoded):
-    """Block-NTT backend (ops/ntt.py): BK NTT-domain resident, the per-step
-    contraction is one merged [B, R*N2] @ [R*N2, C*L*N2] int8 matmul per NTT
-    bin instead of the O(N^2) Toeplitz expansion — ~11x fewer MXU MACs at
-    default_128 (see NOTES_NTT.md).  Bit-exact vs the other backends."""
+def _blind_rotate_ntt(params, approx_ct, bk, tv_encoded, stream: bool = False):
+    """Block-NTT backend (ops/ntt.py): BK NTT-domain resident (or streamed,
+    see ``rotate_chunk_ntt``), the per-step contraction is one merged
+    [B, R*N2] @ [R*N2, C*L*N2] int8 matmul per NTT bin instead of the O(N^2)
+    Toeplitz expansion — ~11x fewer MXU MACs at default_128 (see
+    NOTES_NTT.md).  Bit-exact vs the other backends."""
     acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
-    return rotate_chunk_ntt(params, acc0, bk_ntt, a_hat)
+    return rotate_chunk_ntt(params, acc0, bk, a_hat, stream=stream)
 
 
 def _blind_rotate_bmmp(params, approx_ct, bk_bmmp_lm, tv_encoded, interpret=False):
@@ -247,12 +261,13 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     (the *encoded* test vector, src/bootstrapping.rs:82-86).
     """
     impl = resolve_impl(impl)
-    if impl.startswith(("fused",)) and approx_ct.shape[0] > _FUSED_MAX_BATCH:
-        # the whole-scan kernels keep the batch VMEM-resident; chunk bigger
-        # batches into independent pallas_calls (exact: samples are
-        # independent).  Static shapes: batch is a compile-time constant.
+    # the whole-scan kernels keep the batch VMEM-resident; chunk bigger
+    # batches into independent pallas_calls (exact: samples are independent).
+    # fusedp's parity digit scratch halves its per-call budget.
+    max_b = 2048 if impl.startswith("fusedp") else _FUSED_MAX_BATCH
+    if impl.startswith(("fused",)) and approx_ct.shape[0] > max_b:
         b = approx_ct.shape[0]
-        cuts = list(range(0, b, _FUSED_MAX_BATCH)) + [b]
+        cuts = list(range(0, b, max_b)) + [b]
         return jnp.concatenate(
             [
                 blind_rotate(params, approx_ct[lo:hi], server_key, tv_encoded, impl)
@@ -270,6 +285,18 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
             params, acc0, server_key.bk_u32, a_hat,
             interpret=(impl == "fusedc_interpret"),
             key_limbs=3 if impl == "fusedc3" else 4,
+        )
+    if impl in ("fusedp", "fusedp3", "fusedp_interpret"):
+        # software-pipelined whole-scan kernel: step s+1's digit pipeline
+        # (VPU) overlaps step s's contraction (MXU) via a parity
+        # double-buffered digit scratch (ops/pallas/blind_rotate_kernel.py)
+        from tfhe_tpu.ops.pallas.blind_rotate_kernel import blind_rotate_fused_pipe
+
+        acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+        return blind_rotate_fused_pipe(
+            params, acc0, server_key.bk_u32, a_hat,
+            interpret=(impl == "fusedp_interpret"),
+            key_limbs=3 if impl == "fusedp3" else 4,
         )
     if impl in ("fused", "fused3", "fused_interpret"):
         # whole-scan Pallas kernel: acc VMEM-resident for all n steps, BK
@@ -293,6 +320,13 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     if impl == "ntt":
         assert server_key.bk_ntt is not None, "keys.with_ntt_key(server_key) required"
         return _blind_rotate_ntt(params, approx_ct, server_key.bk_ntt, tv_encoded)
+    if impl == "ntts":
+        # streaming NTT: per-step key transform inside the scan; no
+        # precomputed NTT key needed (required at N >= 2048 where the
+        # resident key would exceed HBM)
+        return _blind_rotate_ntt(
+            params, approx_ct, server_key.bk_u32, tv_encoded, stream=True
+        )
     if impl == "pallas":
         return _blind_rotate_pallas(params, approx_ct, server_key.bk_lm, tv_encoded)
     if impl == "pallas_interpret":

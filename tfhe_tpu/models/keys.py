@@ -108,6 +108,15 @@ def with_ntt_key(sk: ServerKey) -> ServerKey:
     from tfhe_tpu.ops.ntt import make_ep_ntt_key, plan_for_params
 
     plan = plan_for_params(sk.params)
+    p = sk.params
+    rows = (p.glwe_dimension + 1) * p.pbs_decomposer.levels
+    per_step = (4 * plan.n1 * (rows * plan.n2)
+                * ((p.glwe_dimension + 1) * plan.key_limbs * plan.n2))
+    total = per_step * p.lwe_dimension
+    if total > 8 << 30:
+        raise ValueError(
+            f"resident NTT key would be {total/2**30:.1f} GiB (> 8 GiB HBM "
+            "budget); use the streaming backend impl='ntts' instead")
     bk_ntt = jax.lax.map(
         lambda bk_i: make_ep_ntt_key(bk_i, plan), sk.bk_u32, batch_size=64
     )

@@ -12,12 +12,14 @@ block DMA, ~0.1MB/step).  Per step, entirely on-chip:
      int8 limb planes stored in a VMEM scratch shared by every batch tile.
      This is the B-independent VPU cost of the step; building it once per
      step (not once per tile) is what makes large batches profitable;
-  2. per-sample negacyclic rotation acc * X^{a_i} — barrel shifter over
-     log2(2N) static lane-rolls selected by exponent bits (VPU), one
-     [bt, N] plane at a time;
+  2. per-sample negacyclic rotation acc * X^{a_i} — a CYCLIC barrel of
+     log2(N) static lane-rolls selected by exponent bits plus one
+     closed-form negacyclic sign fix (VPU), one [bt, N] plane at a time
+     (``_rotate_negacyclic``);
   3. diff = rot - acc; exact carry-chain signed decomposition into
-     R=(k+1)*levels int8 digit planes (VPU), keeping only the top `levels`
-     digits (int8) live;
+     R=(k+1)*levels int8 digit planes — the chain runs on uint8 vregs for
+     log_base=4 and skips the provably-zero digits below the rounding
+     boundary (``_decompose_kept_int8``);
   4. column-outer contraction against the scratch Toeplitz planes on the MXU
      (int8 x int8 -> int32), limb recombination (wrapping shifts) and
      acc += delta (VPU).
@@ -71,30 +73,57 @@ def _decompose_kept_int8(diff, dp):
 
     round_value zeroes the low `ignored_bits`; since log_base | log_q, every
     digit below l_full-levels is then identically zero and carries nothing,
-    so the carry chain starts at the first kept digit with carry=0.  Digits
-    land in [-B/2, B] (the +B carry anomaly), which the (log_base+2)-bit
-    sign-extension trick converts to int8 without a 32->8 bit cast chain.
+    so the carry chain starts at the first kept digit with carry=0.
+
+    For log_base=4 (every registry set) the whole chain runs on int16 vregs
+    — 2x the lane density of u32, and the widest narrow type Mosaic
+    supports for vector arithmetic (i8 vector ops are rejected: "Only
+    vector<i16> and vector<i32> are supported").  The rounded significand
+    ``v = round(diff) >> ig`` is truncated half-word-by-half-word (a
+    u32->i16 cast keeps the low 16 bits), each half splits into four
+    nibbles ((h >> 4j) & 15 is sign-safe under arithmetic shifts), and the
+    recenter/carry ops are 16-bit.  The +B carry anomaly is preserved
+    exactly: res = nib + carry in [0, 16]; cm = res & 8 is ZERO at res=16,
+    so that digit stays +16 with carry 0 (src/decomposer.rs:42-80); digit =
+    res - 2*cm in [-8, 16] truncates to int8 two's complement.
     """
     ig = dp.ignored_bits
+    if ig:
+        msb = (diff >> jnp.uint32(ig - 1)) & jnp.uint32(1)
+        v = (diff >> jnp.uint32(ig)) + msb  # (32-ig)-bit rounded significand
+    else:
+        v = diff
+    if dp.log_base == 4:
+        nibs = []
+        for k in range((dp.levels + 3) // 4):
+            h = (v >> jnp.uint32(16 * k)).astype(jnp.int16)
+            for j in range(4):
+                nibs.append((h >> jnp.int16(4 * j)) & jnp.int16(15))
+        nibs = nibs[: dp.levels]  # LSB-first
+        carry = jnp.zeros_like(nibs[0])
+        kept = []
+        for nib in nibs:
+            res = nib + carry
+            cm = res & jnp.int16(8)
+            carry = cm >> jnp.int16(3)
+            kept.append((res - (cm << jnp.int16(1))).astype(jnp.int8))
+        kept.reverse()  # MSB-first, matching the reference truncation
+        return kept
+    # generic path (log_base 1/2): u32 chain + sign-extension trick
     base_mask = jnp.uint32((1 << dp.log_base) - 1)
     half = jnp.uint32(1 << (dp.log_base - 1))
     sb = dp.log_base + 2
     m8 = jnp.uint32((1 << sb) - 1)
     top = jnp.uint32(1 << (sb - 1))
-    if ig:
-        msb = (diff & jnp.uint32((1 << ig) - 1)) >> jnp.uint32(ig - 1)
-        val = ((diff >> jnp.uint32(ig)) + msb) << jnp.uint32(ig)
-    else:
-        val = diff
-    carry = jnp.zeros_like(val)
+    carry = jnp.zeros_like(v)
     kept = []
-    for l in range(dp.l_full - dp.levels, dp.l_full):
-        res = ((val >> jnp.uint32(dp.log_base * l)) & base_mask) + carry
+    for l in range(dp.levels):
+        res = ((v >> jnp.uint32(dp.log_base * l)) & base_mask) + carry
         cm = res & half
         res = res - (cm << jnp.uint32(1))
         carry = cm >> jnp.uint32(dp.log_base - 1)
         kept.append(res)
-    kept.reverse()  # MSB-first, matching the reference truncation
+    kept.reverse()
     return [
         ((d & m8).astype(jnp.int32) - 2 * (d & top).astype(jnp.int32)).astype(
             jnp.int8
@@ -176,7 +205,6 @@ def _kernel_wide(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
             w_ref[poly * levels * n : (poly + 1) * levels * n, :],
             preferred_element_type=jnp.int32,
         )
-    new_planes = []
     for col in range(k1):
         delta = jnp.zeros((bt, n), jnp.uint32)
         for i, l in enumerate(range(drop, NUM_LIMBS)):
@@ -184,8 +212,104 @@ def _kernel_wide(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
             delta = delta + (
                 comb[:, c0 : c0 + n].astype(jnp.uint32) << jnp.uint32(8 * l)
             )
-        new_planes.append(acc[col] + delta)
-    acc_ref[tile] = jnp.stack(new_planes)
+        acc_ref[tile, col] = acc[col] + delta
+
+
+def _kernel_pipe(a_next_ref, a0_ref, acc_in_ref, bk_full_ref, acc_ref,
+                 w_ref, d_ref, *, params: TfheParams, bt: int, n_tiles: int,
+                 key_limbs: int):
+    """Software-pipelined variant of ``_kernel``: the VPU digit pipeline of
+    step s+1 runs UNDER the MXU contraction of step s.
+
+    The per-step serial chain is digits(s) -> matmuls(s) -> acc update(s) ->
+    digits(s+1) -> ...  In ``_kernel`` the whole digit pipeline (barrel
+    rotation + carry chain, the measured ~90us/step VPU cost) sits on the
+    critical path.  Here digits are STAGED in a parity double-buffered VMEM
+    scratch: cell (s, t) contracts the staged digits of step s column by
+    column, and immediately after updating accumulator plane c computes that
+    poly's step-s+1 digits (rotation by a[s+1]) into the other parity buffer
+    — work that is independent of the remaining columns' matmuls, so
+    Mosaic's in-cell scheduler can run it on the VPU while the MXU streams
+    the next column.  Only the LAST column's digit pipeline (plus the step-0
+    prologue) stays exposed.
+
+    The parity buffers are addressed with static leading indices under
+    ``pl.when(step % 2 == ...)`` so reads (parity of s) and writes (parity
+    of s+1) are provably disjoint to the compiler.  ``a_next_ref`` streams
+    exponent block s+1 (the caller pads ``a_hat`` with one zero block so the
+    final step's staging — whose output is never read — stays in bounds);
+    ``a0_ref`` carries step 0's exponents for the prologue.
+    """
+    n = params.degree
+    k1 = params.glwe_dimension + 1
+    dp = params.pbs_decomposer
+    levels = dp.levels
+    n_rows = k1 * levels * k1
+    drop = NUM_LIMBS - key_limbs
+
+    step = pl.program_id(0)
+    tile = pl.program_id(1)
+    coeff = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
+
+    # ---- Toeplitz expansion for step s (identical to _kernel)
+    @pl.when(tile == 0)
+    def _():
+        bk_step = bk_full_ref[0]
+        for row in range(n_rows):
+            g = bk_step[row : row + 1, :]
+            g_ext = jnp.concatenate([g, -g], axis=1)
+            base = jnp.broadcast_to(g_ext, (n, 2 * n))
+            circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
+            w = circ[:, :n] + jnp.uint32(0x80808080)
+            for i, l in enumerate(range(drop, NUM_LIMBS)):
+                limb = ((w >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32
+                ) - 128
+                w_ref[row * key_limbs + i] = limb.astype(jnp.int8)
+
+    # ---- prologue: stage step-0 digits from the initial accumulator
+    @pl.when(step == 0)
+    def _():
+        acc_ref[tile] = acc_in_ref[tile]
+        a0 = a0_ref[0]  # [bt, 1]
+        for poly in range(k1):
+            accp = acc_in_ref[tile, poly]
+            rot = _rotate_negacyclic(accp, a0, coeff, n)
+            for j, d8 in enumerate(_decompose_kept_int8(rot - accp, dp)):
+                d_ref[0, tile, poly * levels + j] = d8
+
+    a_next = a_next_ref[0, 0]  # [bt, 1] int32: step s+1's exponents
+
+    def body(ri: int, wi: int):
+        for col in range(k1):
+            # MXU: column `col` of step s against the staged digits
+            acc4 = [jnp.zeros((bt, n), jnp.int32) for _ in range(key_limbs)]
+            for rd in range(k1 * levels):
+                d8 = d_ref[ri, tile, rd]
+                row = rd * k1 + col
+                for l in range(key_limbs):
+                    acc4[l] += jnp.dot(
+                        d8, w_ref[row * key_limbs + l],
+                        preferred_element_type=jnp.int32,
+                    )
+            delta = jnp.zeros((bt, n), jnp.uint32)
+            for i, l in enumerate(range(drop, NUM_LIMBS)):
+                delta = delta + (acc4[i].astype(jnp.uint32) << jnp.uint32(8 * l))
+            plane = acc_ref[tile, col] + delta
+            acc_ref[tile, col] = plane
+            # VPU: poly `col`'s step-s+1 digits — independent of the
+            # remaining columns' matmuls, overlaps them
+            rot = _rotate_negacyclic(plane, a_next, coeff, n)
+            for j, d8 in enumerate(_decompose_kept_int8(rot - plane, dp)):
+                d_ref[wi, tile, col * levels + j] = d8
+
+    @pl.when(step % 2 == 0)
+    def _():
+        body(0, 1)
+
+    @pl.when(step % 2 == 1)
+    def _():
+        body(1, 0)
 
 
 def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
@@ -261,13 +385,11 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
                         w_ref[row * key_limbs + l],
                         preferred_element_type=jnp.int32,
                     )
-    new_planes = []
     for col in range(k1):
         delta = jnp.zeros((bt, n), jnp.uint32)
         for i, l in enumerate(range(drop, NUM_LIMBS)):
             delta = delta + (acc4[col][i].astype(jnp.uint32) << jnp.uint32(8 * l))
-        new_planes.append(acc[col] + delta)
-    acc_ref[tile] = jnp.stack(new_planes)
+        acc_ref[tile, col] = acc[col] + delta
 
 
 def _kernel_cols(a_ref, acc_in_ref, bk_ref, acc_ref, w_ref, d_ref, *,
@@ -404,6 +526,74 @@ def blind_rotate_fused_cols(params: TfheParams, acc0, bk_u32, a_hat,
         ),
         interpret=interpret,
     )(a_tiles, acc0_tiles, bk_cols)
+    return jnp.swapaxes(out, 1, 2).reshape(batch, k1, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "interpret", "batch_tile", "key_limbs"),
+)
+def blind_rotate_fused_pipe(params: TfheParams, acc0, bk_u32, a_hat,
+                            interpret=False, batch_tile: int | None = None,
+                            key_limbs: int = NUM_LIMBS):
+    """Software-pipelined whole-scan rotation (see ``_kernel_pipe``): step
+    s+1's digit pipeline overlaps step s's MXU contraction via a parity
+    double-buffered digit scratch.  The scratch costs 2*B*R_d*N int8 bytes
+    (B*9.2KB at default_128), bounding B at ~2048 per call; bigger batches
+    are chunked by the caller.  Bit-exact vs every other backend."""
+    batch, k1, n = acc0.shape
+    steps, r_dim = bk_u32.shape[0], bk_u32.shape[1]
+    assert 1 <= key_limbs <= NUM_LIMBS
+    if batch_tile is None:
+        bt = next(t for t in range(min(batch, 512), 0, -1) if batch % t == 0)
+    else:
+        bt = batch_tile
+    assert batch % bt == 0, (batch, bt)
+    n_tiles = batch // bt
+
+    acc0_tiles = jnp.swapaxes(acc0.reshape(n_tiles, bt, k1, n), 1, 2)
+    # exponent blocks for step s+1, padded with one zero block so the final
+    # step's (unused) staging reads in bounds
+    a_pad = jnp.concatenate(
+        [a_hat, jnp.zeros((1,) + a_hat.shape[1:], a_hat.dtype)], axis=0
+    )
+    a_tiles = a_pad.reshape(steps + 1, n_tiles, bt, 1)
+    a0 = a_hat[0].reshape(n_tiles, bt, 1)
+    bk_flat = bk_u32.reshape(steps, r_dim * k1, n)
+    out = pl.pallas_call(
+        functools.partial(_kernel_pipe, params=params, bt=bt,
+                          n_tiles=n_tiles, key_limbs=key_limbs),
+        grid=(steps, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, bt, 1), lambda s, t: (s + 1, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1), lambda s, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, k1, bt, n), lambda s, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_dim * k1, n), lambda s, t: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_tiles, k1, bt, n), lambda s, t: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k1, bt, n), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((r_dim * k1 * key_limbs, n, n), jnp.int8),
+            pltpu.VMEM((2, n_tiles, r_dim, bt, n), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=124 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * batch * r_dim * k1 * n * n * key_limbs,
+            bytes_accessed=steps * r_dim * k1 * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_tiles, a0, acc0_tiles, bk_flat)
     return jnp.swapaxes(out, 1, 2).reshape(batch, k1, n)
 
 

@@ -156,6 +156,9 @@ def ep_contract_pallas_rbn(digits_rbn_i8, bk_rows_u32, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((c_dim, NUM_LIMBS, b, n), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # the in-VMEM circulant build is [N, 2N] u32 (32MB at N=2048);
+            # raise the scoped budget so large-degree params compile
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * r_dim * n * n * c_dim * NUM_LIMBS,
