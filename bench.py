@@ -176,11 +176,15 @@ def main():
         for b in (1, 16, 64, 256):
             if b > batch:
                 continue
-            fb = jax.jit(gate)
-            c0b, c1b = ct0[:b], ct1[:b]
-            t, _ = time_best(fb, max(iters, 3), c0b, c1b, sk)
-            lat[str(b)] = round(t * 1e3, 2)
-            log(f"latency batch={b}: {t*1e3:.1f}ms")
+            try:
+                fb = jax.jit(gate)
+                c0b, c1b = ct0[:b], ct1[:b]
+                t, _ = time_best(fb, max(iters, 3), c0b, c1b, sk)
+                lat[str(b)] = round(t * 1e3, 2)
+                log(f"latency batch={b}: {t*1e3:.1f}ms")
+            except Exception as e:  # e.g. a tile shape this impl can't compile
+                lat[str(b)] = f"failed: {type(e).__name__}"
+                log(f"latency batch={b}: FAILED {type(e).__name__}")
         breakdown["latency_ms"] = lat
 
     if args.trace:

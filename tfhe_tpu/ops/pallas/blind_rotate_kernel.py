@@ -17,9 +17,8 @@ block DMA, ~0.1MB/step).  Per step, entirely on-chip:
      closed-form negacyclic sign fix (VPU), one [bt, N] plane at a time
      (``_rotate_negacyclic``);
   3. diff = rot - acc; exact carry-chain signed decomposition into
-     R=(k+1)*levels int8 digit planes — the chain runs on uint8 vregs for
-     log_base=4 and skips the provably-zero digits below the rounding
-     boundary (``_decompose_kept_int8``);
+     R=(k+1)*levels int8 digit planes, skipping the provably-zero digits
+     below the rounding boundary (``_decompose_kept_int8``);
   4. column-outer contraction against the scratch Toeplitz planes on the MXU
      (int8 x int8 -> int32), limb recombination (wrapping shifts) and
      acc += delta (VPU).
@@ -75,17 +74,14 @@ def _decompose_kept_int8(diff, dp):
     digit below l_full-levels is then identically zero and carries nothing,
     so the carry chain starts at the first kept digit with carry=0.
 
-    For log_base=4 (every registry set) the whole chain runs on int16 vregs
-    — 2x the lane density of u32, and the widest narrow type Mosaic
-    supports for vector arithmetic (i8 vector ops are rejected: "Only
-    vector<i16> and vector<i32> are supported").  The rounded significand
-    ``v = round(diff) >> ig`` is truncated half-word-by-half-word (a
-    u32->i16 cast keeps the low 16 bits), each half splits into four
-    nibbles ((h >> 4j) & 15 is sign-safe under arithmetic shifts), and the
-    recenter/carry ops are 16-bit.  The +B carry anomaly is preserved
-    exactly: res = nib + carry in [0, 16]; cm = res & 8 is ZERO at res=16,
-    so that digit stays +16 with carry 0 (src/decomposer.rs:42-80); digit =
-    res - 2*cm in [-8, 16] truncates to int8 two's complement.
+    The chain stays in u32 vregs deliberately: narrow-int experiments both
+    fail Mosaic lowering — vector<i8> arithmetic is rejected outright
+    ("Only vector<i16> and vector<i32> are supported") and 16-bit shifts
+    fail to legalize (arith.shrsi / arith.shrui on i16), while working the
+    shifts back into u32 with only add/and in u16 costs as many cast ops as
+    it saves.  Digits land in [-B/2, B] (the +B carry anomaly,
+    src/decomposer.rs:42-80), which the (log_base+2)-bit sign-extension
+    trick converts to int8 without a 32->8 chain.
     """
     ig = dp.ignored_bits
     if ig:
@@ -93,23 +89,6 @@ def _decompose_kept_int8(diff, dp):
         v = (diff >> jnp.uint32(ig)) + msb  # (32-ig)-bit rounded significand
     else:
         v = diff
-    if dp.log_base == 4:
-        nibs = []
-        for k in range((dp.levels + 3) // 4):
-            h = (v >> jnp.uint32(16 * k)).astype(jnp.int16)
-            for j in range(4):
-                nibs.append((h >> jnp.int16(4 * j)) & jnp.int16(15))
-        nibs = nibs[: dp.levels]  # LSB-first
-        carry = jnp.zeros_like(nibs[0])
-        kept = []
-        for nib in nibs:
-            res = nib + carry
-            cm = res & jnp.int16(8)
-            carry = cm >> jnp.int16(3)
-            kept.append((res - (cm << jnp.int16(1))).astype(jnp.int8))
-        kept.reverse()  # MSB-first, matching the reference truncation
-        return kept
-    # generic path (log_base 1/2): u32 chain + sign-extension trick
     base_mask = jnp.uint32((1 << dp.log_base) - 1)
     half = jnp.uint32(1 << (dp.log_base - 1))
     sb = dp.log_base + 2
@@ -142,8 +121,11 @@ def _kernel_wide(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
     digit planes are lane-concatenated into [bt, levels*N].  The per-tile
     contraction is then k+1 dots of [bt, levels*N] x [levels*N, 12N] instead
     of 216 dots of [bt, N] x [N, N]: 72x fewer accumulator read-modify-writes
-    and long weight streams through the MXU.  Measured (v5e, default_128,
-    B=3072, bt=512): 730.9ms vs the narrow kernel's 841.5ms (+15%).
+    and long weight streams through the MXU.  MEASURED (v5e, default_128,
+    B=3072, bt=512): statistically tied with the narrow kernel
+    (1162 vs 1157 us/step) — the MXU floor is not accumulator-RMW-bound —
+    but it compiles ~5-20x faster (50s vs 240-1090s), which is why it is
+    the default ``wide=True`` path.
 
     Also trims the decomposition carry chain and uses the cyclic-barrel
     rotation (see the module helpers).  NB: input/output aliasing does NOT
@@ -205,6 +187,7 @@ def _kernel_wide(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
             w_ref[poly * levels * n : (poly + 1) * levels * n, :],
             preferred_element_type=jnp.int32,
         )
+    new_planes = []
     for col in range(k1):
         delta = jnp.zeros((bt, n), jnp.uint32)
         for i, l in enumerate(range(drop, NUM_LIMBS)):
@@ -212,7 +195,10 @@ def _kernel_wide(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
             delta = delta + (
                 comb[:, c0 : c0 + n].astype(jnp.uint32) << jnp.uint32(8 * l)
             )
-        acc_ref[tile, col] = acc[col] + delta
+        new_planes.append(acc[col] + delta)
+    # whole-block store: per-plane stores acc_ref[tile, col] blow Mosaic
+    # compile time past 25 min (vs ~50s with the stack store); measured
+    acc_ref[tile] = jnp.stack(new_planes)
 
 
 def _kernel_pipe(a_next_ref, a0_ref, acc_in_ref, bk_full_ref, acc_ref,
@@ -385,11 +371,13 @@ def _kernel(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
                         w_ref[row * key_limbs + l],
                         preferred_element_type=jnp.int32,
                     )
+    new_planes = []
     for col in range(k1):
         delta = jnp.zeros((bt, n), jnp.uint32)
         for i, l in enumerate(range(drop, NUM_LIMBS)):
             delta = delta + (acc4[col][i].astype(jnp.uint32) << jnp.uint32(8 * l))
-        acc_ref[tile, col] = acc[col] + delta
+        new_planes.append(acc[col] + delta)
+    acc_ref[tile] = jnp.stack(new_planes)
 
 
 def _kernel_cols(a_ref, acc_in_ref, bk_ref, acc_ref, w_ref, d_ref, *,
