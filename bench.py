@@ -53,8 +53,8 @@ def main():
     ap.add_argument("--batch", type=int, default=0, help="0 = default for impl")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "conv", "matmul", "pallas", "fused",
-                             "fused3", "fusedc", "fusedc3", "fusedp", "bmmp",
-                             "ntt", "ntts"])
+                             "fused3", "fusedb", "fusedc", "fusedc3", "fusedp",
+                             "bmmp", "ntt", "ntts"])
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-check", action="store_true",
                     help="skip the same-run correctness/noise verification")
@@ -83,10 +83,14 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     impl = args.impl
     if impl == "auto":
-        # fused (whole-scan VMEM-resident kernel) is the fastest exact backend
-        # on hardware (sweep r2: 3136 boots/s @ 3072 vs pallas 3021 @ 1024);
-        # batch 3072 trades ~1% throughput vs 4096 for 3x faster compile
-        impl = "fused" if on_tpu else "conv"
+        # fusedb (whole-scan VMEM-resident kernel, balanced closed-form
+        # digits) is the fastest exact backend on hardware (r3 probes:
+        # 3937 rot/s vs fused 3847 at B=3072/bt=768).  It is exact mod-2^32
+        # with a digit convention differing from the reference trace
+        # (DIVERGENCES.md #3); --impl fused is the reference-bit-exact
+        # kernel.  batch 3072 trades ~1% throughput vs 4096 for faster
+        # compile
+        impl = "fusedb" if on_tpu else "conv"
     batch = args.batch or (
         (3072 if impl.startswith("fused") else 1024) if on_tpu else 64
     )
@@ -131,6 +135,9 @@ def main():
 
     breakdown = {
         "impl": impl,
+        # fusedb = closed-form balanced digits: exact mod-2^32, digit
+        # convention differs from the reference trace (DIVERGENCES.md #3)
+        "digit_convention": "balanced-exact" if impl == "fusedb" else "reference",
         "batch": batch,
         "keygen_s": round(keygen_s, 2),
         "bk_mbytes": round(bk_mb, 1),

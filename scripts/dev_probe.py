@@ -50,7 +50,8 @@ def run(tag, **kw):
         times.append(time.perf_counter() - t0)
     best = min(times)
     exact = ""
-    if not kw.get("skip_expand") and not kw.get("skip_digits") and kw.get("key_limbs", 4) == 4:
+    if (not kw.get("skip_expand") and not kw.get("skip_digits")
+            and not kw.get("balanced") and kw.get("key_limbs", 4) == 4):
         if ref_out is None:
             ref_out = out
             exact = " [ref]"
@@ -92,6 +93,12 @@ elif which == "wide":
     run("narrow bt=512", batch_tile=512, wide=False)
     run("wide bt=768", batch_tile=768, wide=True)
     run("wide bt=512 3limb", batch_tile=512, wide=True, key_limbs=3)
+elif which == "bal":
+    # exact-chain (int32+trunc-cast) vs closed-form balanced digits
+    run("wide bt=768 chain", batch_tile=768, wide=True)
+    run("wide bt=768 balanced", batch_tile=768, wide=True, balanced=True)
+    run("wide bt=768 bal 3limb", batch_tile=768, wide=True, balanced=True,
+        key_limbs=3)
 else:
     run("bt=512", batch_tile=512, wide=False)
     run("bt=512 skip_expand", batch_tile=512, skip_expand=True)

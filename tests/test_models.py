@@ -322,6 +322,56 @@ class TestBitExactBootstrap:
         chunked = mboot.blind_rotate(p, approx, sk, tv, impl="fused_interpret")
         assert np.array_equal(np.asarray(whole), np.asarray(chunked))
 
+    def test_full_pbs_bit_exact_fusedb_interpret(self, shared):
+        """Balanced-digit whole-scan kernel (impl='fusedb', interpret mode):
+        bit-identical to an XLA scan running the SAME closed-form balanced
+        decomposition (ops/decomposer.py:decompose_balanced_planes), and the
+        full PBS output decrypts/decodes to the same messages as golden
+        (different exact digit convention, identical reconstruction —
+        see DIVERGENCES.md)."""
+        from tfhe_tpu.ops.decomposer import decompose_balanced_planes
+        from tfhe_tpu.ops.poly import ep_combine, ep_contract_matmul
+        from tfhe_tpu.ops.torus import switch_modulus
+
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(31)
+        p = TEST
+        k1 = p.glwe_dimension + 1
+        levels = p.pbs_decomposer.levels
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (2, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        msgs = [1, 3]
+        cts = np.stack([
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[i], e[i])
+            for i, m in enumerate(msgs)
+        ])
+        approx = switch_modulus(jnp.asarray(cts), p.log_q, p.log_degree + 1)
+        # XLA balanced scan (matmul contraction): the independent oracle
+        acc, a_hat = mboot._init_acc(p, approx, tv_enc)
+        for i in range(p.lwe_dimension):
+            rot = mglwe.mul_monomial(acc, a_hat[i])
+            digs = decompose_balanced_planes(rot - acc, p.pbs_decomposer)
+            digs = jnp.moveaxis(digs, 0, -2)  # [B, k+1, levels, N]
+            digs = digs.reshape(digs.shape[0], k1 * levels, p.degree)
+            raw = ep_contract_matmul(digs, server.bk_u32[i])
+            acc = acc + ep_combine(raw, k1)
+        want_rot = np.asarray(acc)
+        ours_rot = np.asarray(mboot.blind_rotate(
+            p, approx, server, tv_enc, impl="fusedb_interpret"))
+        assert np.array_equal(ours_rot, want_rot)
+        # full PBS decodes identically to the golden (reference-convention)
+        # bootstrap, though the ciphertext bits differ
+        ref = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
+                        for i in range(2)])
+        ours = np.asarray(
+            mboot.pbs(p, cts, server, tv_enc, impl="fusedb_interpret"))
+        for i in range(2):
+            got = g.lwe_decode(g.decrypt_lwe(d["lwe_sk"], ours[i]), p)
+            want = g.lwe_decode(g.decrypt_lwe(d["lwe_sk"], ref[i]), p)
+            assert got == want, (i, got, want)
+
     def test_full_pbs_bit_exact_pallas_interpret(self, shared):
         """Pallas backend (interpret mode on CPU) is bit-identical too —
         covers the level-major digit rows + bk_lm permutation + VMEM-layout

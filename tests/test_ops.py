@@ -73,6 +73,23 @@ class TestDecomposer:
         ours = np.asarray(jdec.recompose(d, dp))
         assert np.array_equal(ours, g.round_value(v, dp))
 
+    @pytest.mark.parametrize("dp", [PBS_DP, KS_DP, DecomposerParams(4, 8, 32)])
+    def test_balanced_closed_form_exact(self, rng, dp):
+        """decompose_balanced_planes: digits strictly in [-B/2, B/2) AND the
+        recomposition equals round_value mod 2^32 exactly — the same
+        reconstruction as the reference carry chain (which it therefore
+        matches as an exact gadget decomposition, digit-vector aside)."""
+        v = rnd_u32(rng, (100_000,))
+        v = np.concatenate(
+            [v, np.array([0, 0xF8, 0xFF, 0xFFFFFFFF, 0x88888888, 0x7FFFFFFF], np.uint32)]
+        )
+        d = np.asarray(jdec.decompose_balanced_planes(v, dp))  # [levels, M]
+        assert d.min() >= -dp.base // 2 and d.max() < dp.base // 2
+        shifts = (dp.log_base * (dp.levels - 1 - np.arange(dp.levels))).astype(np.uint64)
+        rec = (d.astype(np.int64) * (1 << shifts)[:, None].astype(np.int64)).sum(0)
+        rec = ((rec & 0xFFFFFFFF).astype(np.uint32)) << np.uint32(dp.ignored_bits)
+        assert np.array_equal(rec, g.round_value(v, dp))
+
 
 class TestPoly:
     def test_monomial_mul_matches_golden(self, rng):

@@ -203,7 +203,7 @@ def main(argv=None):
 
     #: every library backend is reachable from the CLI (bench.py exposes the
     #: same list)
-    impls = ["auto", "conv", "matmul", "pallas", "fused", "fused3",
+    impls = ["auto", "conv", "matmul", "pallas", "fused", "fused3", "fusedb",
              "fusedc", "fusedc3", "fusedp", "bmmp", "ntt", "ntts"]
 
     ga = sub.add_parser("gate");    ga.set_defaults(fn=cmd_gate)

@@ -298,18 +298,23 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
             interpret=(impl == "fusedp_interpret"),
             key_limbs=3 if impl == "fusedp3" else 4,
         )
-    if impl in ("fused", "fused3", "fused_interpret"):
+    if impl in ("fused", "fused3", "fused_interpret", "fusedb",
+                "fusedb_interpret"):
         # whole-scan Pallas kernel: acc VMEM-resident for all n steps, BK
         # streamed per step (ops/pallas/blind_rotate_kernel.py).  ``fused3``
         # is the truncated-key approximate mode (25% less MXU work; see the
-        # kernel docstring for the noise argument).
+        # kernel docstring for the noise argument).  ``fusedb`` swaps in the
+        # closed-form balanced decomposition — exact mod-2^32, no carry
+        # chain, digit convention differs from the reference trace
+        # (DIVERGENCES.md).
         from tfhe_tpu.ops.pallas.blind_rotate_kernel import blind_rotate_fused
 
         acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
         return blind_rotate_fused(
             params, acc0, server_key.bk_u32, a_hat,
-            interpret=(impl == "fused_interpret"),
+            interpret=impl.endswith("_interpret"),
             key_limbs=3 if impl == "fused3" else 4,
+            balanced=impl.startswith("fusedb"),
         )
     if impl in ("bmmp", "bmmp_interpret"):
         assert server_key.bk_bmmp_lm is not None, "keygen(..., bmmp=True) required"

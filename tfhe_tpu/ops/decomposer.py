@@ -3,15 +3,21 @@
 The reference decomposes one scalar at a time with an explicit carry loop
 (src/decomposer.rs:42-80).  Here the same *exact* carry chain runs unrolled
 over ``log_q/log_base`` positions as elementwise VPU ops on whole ciphertext
-tensors at once.  We deliberately do NOT use the closed-form balanced-digit
-trick (value + 0x888...8): the reference's carry rule emits an anomalous digit
-+B when digit B-1 meets an incoming carry (res = B escapes recentering because
-``res & B/2 == 0``), and the closed form would diverge bit-wise from it even
-though both recompose identically.  Bit-exactness wins; the chain costs ~8
-cheap vector ops.
+tensors at once.  The default path deliberately does NOT use the closed-form
+balanced-digit trick (value + 0x888...8): the reference's carry rule emits an
+anomalous digit +B when digit B-1 meets an incoming carry (res = B escapes
+recentering because ``res & B/2 == 0``), and the closed form diverges bit-wise
+from it even though both recompose identically.  Bit-exactness to the
+reference wins for the default; the chain costs ~9 cheap vector ops per level.
 
 Digits therefore lie in {-B/2 .. B/2-1} union {B} and always fit int8 for the
 MXU contractions (params assert base <= 64).
+
+``decompose_balanced_planes`` is the opt-in closed form (impl='fusedb' in the
+bootstrap): the SAME half-up rounding and the SAME exact mod-2^32
+reconstruction, digits in the strictly smaller range [-B/2, B/2), no
+loop-carried carry — cheaper on the VPU and a different (documented,
+DIVERGENCES.md) digit convention than the reference trace.
 """
 
 from __future__ import annotations
@@ -98,3 +104,43 @@ def decompose_signed_planes(value, p: DecomposerParams) -> jnp.ndarray:
     return jnp.stack(
         [digits_to_signed(x, p) for x in digits[: p.levels]], axis=0
     )
+
+
+def balanced_offset(p: DecomposerParams) -> int:
+    """The pre-shift constant C of the closed-form balanced decomposition:
+    C = (H << ig) + 2^(ig-1) with H = sum_l (B/2) B^l over the kept levels.
+    ``(v + C) >> ig`` performs the reference's half-up rounding AND the
+    balanced re-centering offset in one wrapping add."""
+    half = 1 << (p.log_base - 1)
+    hh = sum(half << (p.log_base * l) for l in range(p.levels))
+    ig = p.ignored_bits
+    if ig == 0:
+        return hh
+    return ((hh << ig) + (1 << (ig - 1))) & 0xFFFFFFFF
+
+
+def decompose_balanced_planes(value, p: DecomposerParams) -> jnp.ndarray:
+    """Closed-form balanced decomposition: u32[...] -> int8[levels, ...],
+    MSB-first, digits in [-B/2, B/2).
+
+    Exact: sum_l d_l B^(levels-1-l) << ignored_bits == round_value(value)
+    (mod 2^32) — identical reconstruction (and identical rounding) to the
+    carry chain; only the digit vector differs (no +B anomaly).  This is
+    the XLA twin of the fused kernel's ``_decompose_balanced_int8``
+    (ops/pallas/blind_rotate_kernel.py) used for bit-exact validation.
+    """
+    value = jnp.asarray(value, jnp.uint32)
+    b = p.log_base
+    half = 1 << (b - 1)
+    ig = p.ignored_bits
+    c = jnp.uint32(balanced_offset(p))
+    u = (value + c) >> jnp.uint32(ig) if ig else value + c
+    mask = jnp.uint32((1 << b) - 1)
+    planes = [
+        (((u >> jnp.uint32(b * l)) & mask).astype(jnp.int32) - half).astype(
+            jnp.int8
+        )
+        for l in range(p.levels)
+    ]
+    planes.reverse()
+    return jnp.stack(planes, axis=0)

@@ -49,6 +49,30 @@ from tfhe_tpu.params import TfheParams
 
 NUM_LIMBS = 4
 
+# Per-generation tuning for the wide whole-scan kernel: (wide batch-tile cap,
+# narrow batch-tile cap, scoped-VMEM budget handed to Mosaic).  v5e values are
+# MEASURED (ARTIFACTS/probe_r3*.log: bt=768 gives 3847/3937 rot/s chain/
+# balanced vs 3702/3774 at 512; B=4096 needs 120.2MB scoped VMEM).  v6e shares
+# the 128MB VMEM size and inherits the v5e tiles (untested); unknown
+# generations fall back to the conservative round-2 constants.
+_GEN_TUNING = {
+    "v5 lite": (768, 256, 125 * 1024 * 1024),  # v5e (device_kind "TPU v5 lite")
+    "v6": (768, 256, 125 * 1024 * 1024),
+    "v5p": (768, 256, 125 * 1024 * 1024),
+}
+_DEFAULT_TUNING = (512, 256, 116 * 1024 * 1024)
+
+
+def _tuning() -> tuple[int, int, int]:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    for key, val in _GEN_TUNING.items():
+        if key in kind:
+            return val
+    return _DEFAULT_TUNING
+
 
 def _rotate_negacyclic(accp, a, coeff, n: int):
     """acc * X^a for per-sample exponents a in [0, 2N): a CYCLIC barrel over
@@ -74,14 +98,15 @@ def _decompose_kept_int8(diff, dp):
     digit below l_full-levels is then identically zero and carries nothing,
     so the carry chain starts at the first kept digit with carry=0.
 
-    The chain stays in u32 vregs deliberately: narrow-int experiments both
-    fail Mosaic lowering — vector<i8> arithmetic is rejected outright
-    ("Only vector<i16> and vector<i32> are supported") and 16-bit shifts
-    fail to legalize (arith.shrsi / arith.shrui on i16), while working the
-    shifts back into u32 with only add/and in u16 costs as many cast ops as
-    it saves.  Digits land in [-B/2, B] (the +B carry anomaly,
-    src/decomposer.rs:42-80), which the (log_base+2)-bit sign-extension
-    trick converts to int8 without a 32->8 chain.
+    The shift/mask stage stays in u32 vregs deliberately: narrow-int
+    experiments both fail Mosaic lowering — vector<i8> arithmetic is
+    rejected outright ("Only vector<i16> and vector<i32> are supported")
+    and 16-bit shifts fail to legalize (arith.shrsi / arith.shrui on i16).
+    The carry chain itself runs in int32 (the masked digit is a small
+    non-negative value, so the u32->i32 convert is in-range): digits land
+    in [-B/2, B] (the +B carry anomaly, src/decomposer.rs:42-80), which
+    fits int8 directly for base <= 64, so each digit needs ONE truncating
+    i32->i8 cast instead of the old 5-op masked sign-extension.
     """
     ig = dp.ignored_bits
     if ig:
@@ -90,29 +115,61 @@ def _decompose_kept_int8(diff, dp):
     else:
         v = diff
     base_mask = jnp.uint32((1 << dp.log_base) - 1)
-    half = jnp.uint32(1 << (dp.log_base - 1))
-    sb = dp.log_base + 2
-    m8 = jnp.uint32((1 << sb) - 1)
-    top = jnp.uint32(1 << (sb - 1))
-    carry = jnp.zeros_like(v)
+    half = jnp.int32(1 << (dp.log_base - 1))
+    carry = jnp.int32(0)
     kept = []
     for l in range(dp.levels):
-        res = ((v >> jnp.uint32(dp.log_base * l)) & base_mask) + carry
+        x = ((v >> jnp.uint32(dp.log_base * l)) & base_mask).astype(jnp.int32)
+        res = x + carry  # in [0, B]
         cm = res & half
-        res = res - (cm << jnp.uint32(1))
-        carry = cm >> jnp.uint32(dp.log_base - 1)
-        kept.append(res)
+        res = res - (cm << 1)  # in [-B/2, B]
+        carry = cm >> jnp.int32(dp.log_base - 1)
+        kept.append(res.astype(jnp.int8))
     kept.reverse()
-    return [
-        ((d & m8).astype(jnp.int32) - 2 * (d & top).astype(jnp.int32)).astype(
+    return kept
+
+
+def _decompose_balanced_int8(diff, dp):
+    """Closed-form balanced decomposition (the ``impl='fusedb'`` digit
+    convention): EXACT mod 2^32, no carry chain.
+
+    With H = sum_l (B/2) B^l over the kept levels, the plain base-B digits
+    e_l of u = round(diff)/2^ig + H satisfy sum (e_l - B/2) B^l * 2^ig ==
+    round_value(diff) (mod 2^32) — the SAME reconstruction (and the same
+    half-up rounding: the +2^(ig-1) inside the pre-shift constant is the
+    rounding bit) as the reference carry chain, so the external product is
+    exact with digits in [-B/2, B/2) instead of the reference's
+    [-B/2, B] with the +B anomaly.  The digit VECTOR differs from
+    src/decomposer.rs:42-80 wherever the anomaly fires (P ~ 1/(2B) per
+    digit), so this variant is NOT bit-identical to the reference trace —
+    it is a different exact gadget decomposition with strictly smaller
+    digit bound (see DIVERGENCES.md).  Perf: 6 independent 5-op nibble
+    extracts replace the 9-op/level sequential chain — less VPU work and
+    no loop-carried dependence for the scheduler.
+    """
+    b = dp.log_base
+    ig = dp.ignored_bits
+    half = 1 << (b - 1)
+    hh = sum(half << (b * l) for l in range(dp.levels))  # H
+    if ig:
+        c = jnp.uint32(((hh << ig) + (1 << (ig - 1))) & 0xFFFFFFFF)
+        u = (diff + c) >> jnp.uint32(ig)
+    else:
+        u = diff + jnp.uint32(hh)
+    mask = jnp.uint32((1 << b) - 1)
+    kept = [
+        (((u >> jnp.uint32(b * l)) & mask).astype(jnp.int32) - half).astype(
             jnp.int8
         )
-        for d in kept
+        for l in range(dp.levels)
     ]
+    kept.reverse()
+    return kept
 
 
 def _kernel_wide(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
-                 params: TfheParams, bt: int, n_tiles: int, key_limbs: int):
+                 params: TfheParams, bt: int, n_tiles: int, key_limbs: int,
+                 balanced: bool = False):
     """Wide-dot variant of ``_kernel``: same math, MXU-friendlier shapes.
 
     The Toeplitz scratch is laid out as ONE int8 matrix
@@ -180,7 +237,8 @@ def _kernel_wide(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
     for poly in range(k1):
         accp = acc[poly]  # [bt, N]
         rot = _rotate_negacyclic(accp, a, coeff, n)
-        d8s = _decompose_kept_int8(rot - accp, dp)
+        dec = _decompose_balanced_int8 if balanced else _decompose_kept_int8
+        d8s = dec(rot - accp, dp)
         dp_cat = jnp.concatenate(d8s, axis=1)  # [bt, levels*N]
         comb += jnp.dot(
             dp_cat,
@@ -588,12 +646,12 @@ def blind_rotate_fused_pipe(params: TfheParams, acc0, bk_u32, a_hat,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "interpret", "batch_tile", "key_limbs",
-                     "skip_expand", "skip_digits", "wide"),
+                     "skip_expand", "skip_digits", "wide", "balanced"),
 )
 def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
                        batch_tile: int | None = None, key_limbs: int = NUM_LIMBS,
                        skip_expand: bool = False, skip_digits: bool = False,
-                       wide: bool = True):
+                       wide: bool = True, balanced: bool = False):
     """acc0 u32[B, k+1, N], bk u32[n, R, k+1, N], a_hat int32[n, B] -> final acc.
 
     The whole batch stays VMEM-resident ([T, k+1, bt, N] in/out blocks) and
@@ -605,6 +663,13 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
     ``wide=True`` (default) uses the wide-dot kernel (see ``_kernel_wide``);
     ``wide=False`` keeps the original per-plane kernel, which also carries
     the skip_expand/skip_digits timing probes.
+
+    ``balanced=True`` (impl='fusedb', wide kernel only) swaps the reference
+    carry-chain decomposition for the closed-form balanced digits
+    (``_decompose_balanced_int8``): still exact mod-2^32 arithmetic with
+    the identical reconstruction, but a different (smaller-bound) digit
+    convention — bit-exact vs the XLA balanced scan, NOT vs the reference
+    chain.
 
     ``key_limbs=4`` (default) is the exact mod-2^32 path, bit-identical to
     the scan backends.  ``key_limbs=3`` truncates the low key byte with
@@ -619,10 +684,13 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
     assert 1 <= key_limbs <= NUM_LIMBS
     if skip_expand or skip_digits:
         wide = False  # probes live in the narrow kernel only
+    assert not (balanced and not wide), "balanced digits: wide kernel only"
+    wide_cap, narrow_cap, vmem_limit = _tuning()
     if batch_tile is None:
-        # largest divisor of batch <= the per-generation sweet spot (512 for
-        # the aliased wide kernel, 256 narrow — ARTIFACTS/probe_r3*.log)
-        cap = 512 if wide else 256
+        # largest divisor of batch <= the per-generation sweet spot
+        # (_GEN_TUNING: bigger M amortizes the MXU weight-load latency;
+        # bt=1024 exceeds the scoped-VMEM budget)
+        cap = wide_cap if wide else narrow_cap
         bt = next(t for t in range(min(batch, cap), 0, -1) if batch % t == 0)
     else:
         bt = batch_tile
@@ -638,7 +706,8 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
     bk_flat = bk_u32.reshape(steps, r_dim * k1, n)  # rows (r, col) flattened
     if wide:
         kern = functools.partial(_kernel_wide, params=params, bt=bt,
-                                 n_tiles=n_tiles, key_limbs=key_limbs)
+                                 n_tiles=n_tiles, key_limbs=key_limbs,
+                                 balanced=balanced)
         scratch = pltpu.VMEM((r_dim * n, k1 * key_limbs * n), jnp.int8)
     else:
         kern = functools.partial(_kernel, params=params, bt=bt,
@@ -665,7 +734,10 @@ def blind_rotate_fused(params: TfheParams, acc0, bk_u32, a_hat, interpret=False,
         scratch_shapes=[scratch],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=116 * 1024 * 1024,
+            # per-generation budget (_GEN_TUNING): B=4096/bt=512 wide needs
+            # 120.2MB of scoped VMEM (acc windows + Toeplitz scratch +
+            # dp_cat/comb temps); measured OK on v5e at 125MB
+            vmem_limit_bytes=vmem_limit,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * batch * r_dim * k1 * n * n * key_limbs,
