@@ -33,28 +33,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_best(fn, iters, *args):
-    """Best-of-n wall time; forces completion via a host sum (block_until_ready
-    is unreliable through the remote tunnel)."""
+def time_best(fn, iters, *args, rounds=3):
+    """Best per-call device time, amortized over ``iters`` async dispatches
+    with ONE sync at the end of each round.
+
+    Syncing every call would charge each measurement a full host<->device
+    round trip — measured at ~30ms through the axon tunnel (ARTIFACTS/
+    rtt_probe_r4), which dwarfed the real cost of the fast stages in earlier
+    rounds (e.g. sample_extract: 24.7ms reported, ~0.02ms actual).  Chained
+    async dispatch amortizes that overhead to <2ms total per round."""
     out = fn(*args)
-    _ = float(jnp.sum(out))  # warm-up / compile
-    times = []
-    for _ in range(iters):
+    jax.block_until_ready(out)  # warm-up / compile
+    best = float("inf")
+    for _ in range(rounds):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _ = float(jnp.sum(out))
-        times.append(time.perf_counter() - t0)
-    return min(times), out
+        outs = [fn(*args) for _ in range(iters)]
+        jax.block_until_ready(outs[-1])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best, out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="default_128")
     ap.add_argument("--batch", type=int, default=0, help="0 = default for impl")
-    ap.add_argument("--impl", default="auto",
-                    choices=["auto", "conv", "matmul", "pallas", "fused",
-                             "fused3", "fusedb", "fusedc", "fusedc3", "fusedp",
-                             "bmmp", "ntt", "ntts"])
+    from tfhe_tpu.models.bootstrap import VALID_IMPLS
+
+    ap.add_argument("--impl", default="auto", choices=list(VALID_IMPLS))
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-check", action="store_true",
                     help="skip the same-run correctness/noise verification")
@@ -91,6 +96,13 @@ def main():
         # kernel.  batch 3072 trades ~1% throughput vs 4096 for faster
         # compile
         impl = "fusedb" if on_tpu else "conv"
+        if impl == "fusedb":
+            # ADVICE r3: make the convention switch visible when auto
+            # resolves differently from the library's resolve_impl('auto')
+            log("note: --impl auto selected 'fusedb' (balanced digit "
+                "convention, exact mod 2^32 but not reference-trace-"
+                "bit-exact; see DIVERGENCES.md #3). Use --impl fused for "
+                "the reference-bit-exact kernel.")
     batch = args.batch or (
         (3072 if impl.startswith("fused") else 1024) if on_tpu else 64
     )
@@ -168,12 +180,17 @@ def main():
         t_ext, extracted = time_best(ext, iters, acc)
         t_ks, _ = time_best(ks, iters, extracted, sk)
         breakdown["stages_ms"] = {
-            "linear+modswitch": round(t_lin * 1e3, 2),
+            "linear+modswitch": round(t_lin * 1e3, 3),
             "blind_rotate": round(t_rot * 1e3, 2),
-            "sample_extract": round(t_ext * 1e3, 2),
-            "key_switch": round(t_ks * 1e3, 2),
+            "sample_extract": round(t_ext * 1e3, 3),
+            "key_switch": round(t_ks * 1e3, 3),
         }
-        log(f"stages: {breakdown['stages_ms']}")
+        non_rot = t_lin + t_ext + t_ks
+        breakdown["non_rotation_pct"] = round(
+            100 * non_rot / (non_rot + t_rot), 2
+        )
+        log(f"stages: {breakdown['stages_ms']} "
+            f"(non-rotation {breakdown['non_rotation_pct']}%)")
 
     if args.latency:
         # small-batch gate latency: how long ONE call takes when you have few

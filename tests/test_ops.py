@@ -108,6 +108,16 @@ class TestPoly:
             for r in range(3):
                 assert np.array_equal(ours[b, r], g.poly_mul_monomial(p[b, r], int(e[b, 0])))
 
+    def test_monomial_mul_custom_mod_matches_golden(self, rng):
+        n = 64
+        for log_mod in [7, 11, 32]:
+            p = rnd_u32(rng, (n,))
+            for e in [-5, 0, 1, n, n + 3, 2 * n - 1]:
+                ours = np.asarray(jpoly.monomial_mul_custom_mod(p, e, log_mod))
+                assert np.array_equal(
+                    ours, g.poly_mul_monomial_custom_mod(p, e, log_mod)
+                ), (e, log_mod)
+
     @pytest.mark.parametrize("n", [8, 64, 512])
     def test_poly_mul_u32_matches_golden(self, rng, n):
         a = rnd_u32(rng, (n,))

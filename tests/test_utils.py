@@ -97,3 +97,46 @@ class TestNoise:
         cts[0, -1] += np.uint32(TEST.delta)  # push past the decode threshold
         rep = unoise.measure(ck, cts, msgs)
         assert rep.failures == 1
+
+
+class TestKernelTuning:
+    """_tuning() calibration (ADVICE r3: no untested per-generation rows)."""
+
+    def test_off_tpu_is_conservative(self):
+        from tfhe_tpu.ops.pallas import blind_rotate_kernel as brk
+
+        brk._tuning.cache_clear()
+        assert brk._tuning() == brk._DEFAULT_TUNING
+        brk._tuning.cache_clear()
+
+    def test_measured_generation_uses_table(self, monkeypatch):
+        from tfhe_tpu.ops.pallas import blind_rotate_kernel as brk
+
+        class Dev:
+            device_kind = "TPU v5 lite"
+
+        monkeypatch.setattr(brk.jax, "devices", lambda: [Dev()])
+        monkeypatch.setattr(brk.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            brk, "_probe_vmem_budget",
+            lambda b: (_ for _ in ()).throw(AssertionError("probe must not run")),
+        )
+        brk._tuning.cache_clear()
+        assert brk._tuning() == brk._GEN_TUNING["v5 lite"]
+        brk._tuning.cache_clear()
+
+    def test_unknown_generation_probes(self, monkeypatch):
+        from tfhe_tpu.ops.pallas import blind_rotate_kernel as brk
+
+        class Dev:
+            device_kind = "TPU v99x"
+
+        monkeypatch.setattr(brk.jax, "devices", lambda: [Dev()])
+        monkeypatch.setattr(brk.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(brk, "_probe_vmem_budget", lambda b: False)
+        brk._tuning.cache_clear()
+        assert brk._tuning() == brk._DEFAULT_TUNING
+        brk._tuning.cache_clear()
+        monkeypatch.setattr(brk, "_probe_vmem_budget", lambda b: True)
+        assert brk._tuning() == brk._AGGRESSIVE_TUNING
+        brk._tuning.cache_clear()

@@ -202,9 +202,10 @@ def main(argv=None):
     en.add_argument("--seed", type=int, default=1)
 
     #: every library backend is reachable from the CLI (bench.py exposes the
-    #: same list)
-    impls = ["auto", "conv", "matmul", "pallas", "fused", "fused3", "fusedb",
-             "fusedc", "fusedc3", "fusedp", "bmmp", "ntt", "ntts"]
+    #: same list) — single source of truth in models/bootstrap.py
+    from tfhe_tpu.models.bootstrap import VALID_IMPLS
+
+    impls = list(VALID_IMPLS)
 
     ga = sub.add_parser("gate");    ga.set_defaults(fn=cmd_gate)
     ga.add_argument("--server", required=True)

@@ -51,6 +51,20 @@ from tfhe_tpu.params import TfheParams
 _FUSED_MAX_BATCH = 4096
 
 
+#: every backend string ``blind_rotate`` accepts (single source of truth for
+#: bench.py / cli.py flag surfaces).  ``*_interpret`` variants run the same
+#: Pallas kernel in interpret mode (CPU-runnable); ``fused3``/``fusedc3``/
+#: ``fusedp3`` are the truncated-key approximate modes; ``fusedb`` swaps in
+#: the balanced digit convention (exact mod 2^32, DIVERGENCES.md #3).
+VALID_IMPLS = (
+    "auto", "conv", "matmul", "pallas", "pallas_interpret",
+    "fused", "fused3", "fusedb", "fused_interpret", "fusedb_interpret",
+    "fusedc", "fusedc3", "fusedc_interpret",
+    "fusedp", "fusedp3", "fusedp_interpret",
+    "bmmp", "bmmp_interpret", "ntt", "ntts", "nttf", "nttf_interpret",
+)
+
+
 def resolve_impl(impl: str) -> str:
     """'auto' -> 'pallas' on TPU, 'conv' elsewhere."""
     if impl != "auto":

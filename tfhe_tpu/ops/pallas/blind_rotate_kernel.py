@@ -50,27 +50,57 @@ from tfhe_tpu.params import TfheParams
 NUM_LIMBS = 4
 
 # Per-generation tuning for the wide whole-scan kernel: (wide batch-tile cap,
-# narrow batch-tile cap, scoped-VMEM budget handed to Mosaic).  v5e values are
-# MEASURED (ARTIFACTS/probe_r3*.log: bt=768 gives 3847/3937 rot/s chain/
-# balanced vs 3702/3774 at 512; B=4096 needs 120.2MB scoped VMEM).  v6e shares
-# the 128MB VMEM size and inherits the v5e tiles (untested); unknown
-# generations fall back to the conservative round-2 constants.
+# narrow batch-tile cap, scoped-VMEM budget handed to Mosaic).  Only MEASURED
+# generations get an entry (ARTIFACTS/probe_r3*.log: on v5e, bt=768 gives
+# 3847/3937 rot/s chain/balanced vs 3702/3774 at 512; B=4096 needs 120.2MB
+# scoped VMEM, OK at a 125MB budget).  Unmeasured generations are CALIBRATED
+# at first use: a probe kernel asks Mosaic to scope the aggressive budget and
+# falls back to the conservative round-2 constants if that fails to compile
+# (ADVICE r3: don't inherit untested rows).
 _GEN_TUNING = {
     "v5 lite": (768, 256, 125 * 1024 * 1024),  # v5e (device_kind "TPU v5 lite")
-    "v6": (768, 256, 125 * 1024 * 1024),
-    "v5p": (768, 256, 125 * 1024 * 1024),
 }
+_AGGRESSIVE_TUNING = (768, 256, 125 * 1024 * 1024)
 _DEFAULT_TUNING = (512, 256, 116 * 1024 * 1024)
 
 
+def _probe_vmem_budget(budget_bytes: int) -> bool:
+    """True iff a kernel scoping ~``budget_bytes`` of VMEM compiles AND runs
+    on the current TPU.  Cheap (one trivial grid step over a big scratch)."""
+
+    def kern(x_ref, o_ref, big_ref):
+        big_ref[0:1, :] = x_ref[:, :128]
+        o_ref[...] = x_ref[...]
+        o_ref[:, :128] = big_ref[0:1, :]
+
+    rows = (budget_bytes - 2 * 512 * 4) // (4 * 128) - 8
+    try:
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((1, 512), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((rows, 128), jnp.uint32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=budget_bytes
+            ),
+        )(jnp.zeros((1, 512), jnp.uint32))
+        jax.block_until_ready(out)
+        return True
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
 def _tuning() -> tuple[int, int, int]:
     try:
         kind = jax.devices()[0].device_kind.lower()
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:
-        kind = ""
+        return _DEFAULT_TUNING
     for key, val in _GEN_TUNING.items():
         if key in kind:
             return val
+    if on_tpu and _probe_vmem_budget(_AGGRESSIVE_TUNING[2]):
+        return _AGGRESSIVE_TUNING
     return _DEFAULT_TUNING
 
 

@@ -70,6 +70,21 @@ def monomial_mul(poly, exp) -> jnp.ndarray:
     return out
 
 
+def monomial_mul_custom_mod(poly, exp, log_modulus: int) -> jnp.ndarray:
+    """``monomial_mul`` with coefficients reduced mod 2^log_modulus
+    (src/utils.rs:209-219: poly_mul_monomial_custom_mod).
+
+    The reference uses this for index arithmetic on already-mod-switched
+    values (the clear-simulation oracle, src/bootstrapping.rs:232-287); the
+    JAX pipeline's mod-switch covers its one call site, so this exists for
+    API parity and as a building block for custom-modulus experiments.
+    """
+    out = monomial_mul(poly, exp)
+    if log_modulus < 32:
+        out = out & jnp.uint32((1 << log_modulus) - 1)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Toeplitz helpers
 # ---------------------------------------------------------------------------
