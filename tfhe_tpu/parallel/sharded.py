@@ -4,10 +4,12 @@ Mapping of TFHE onto the mesh (SURVEY.md section 2.2):
 
   * ciphertext batch  -> ``batch`` axis (pure data parallelism, no collectives);
   * BK rows R=(k+1)*levels and KSK rows K=kN*l_ks -> ``model`` axis.  Each
-    shard contracts its local key rows against locally-computed digit slices
-    and the *int32 limb accumulators* are ``psum``-reduced before the wrapping
-    u32 recombine — integer addition is associative, so sharded execution is
-    bit-identical to single-device execution (asserted in tests).
+    shard contracts its local key rows against locally-computed digit slices,
+    recombines its limb planes into a partial wrapping-u32 delta LOCALLY, and
+    the deltas are ``psum``-reduced (integer addition is associative and the
+    limb recombine is linear, so sharded execution is bit-identical to
+    single-device execution — asserted in tests; combining before the
+    collective moves 4x fewer bytes per step than psum'ing raw planes).
 
 Everything is a single ``shard_map``-wrapped jittable function; XLA inserts
 the collectives (psum over ICI) — there is no hand-written transport.
@@ -40,6 +42,25 @@ from tfhe_tpu.ops.poly import (
 from tfhe_tpu.ops.torus import NUM_LIMBS, combine_limb_accs, switch_modulus, u32
 from tfhe_tpu.parallel.mesh import BATCH_AXIS, HOST_AXIS, MODEL_AXIS
 from tfhe_tpu.params import TfheParams
+
+
+def _psum_delta(delta_u32, model_axis):
+    """psum a partial u32 CMUX delta over ``model``.
+
+    The wrapping-u32 limb recombine (``ep_combine*``) is LINEAR in the raw
+    int32 limb planes, so combining locally BEFORE the collective is
+    bit-identical to psum'ing the planes — and moves 4x fewer bytes per step
+    (u32 [B, k+1, N] = B*6KB at default_128 vs int32 [B, (k+1)*4limbs, N]);
+    see docs/ARCHITECTURE.md section 9.1 for the resulting efficiency model.
+    Two's-complement int32 addition == wrapping u32 addition bit-for-bit; the
+    bitcasts keep the collective on a signed dtype for backend portability.
+    """
+    if not model_axis:
+        return delta_u32
+    return lax.bitcast_convert_type(
+        lax.psum(lax.bitcast_convert_type(delta_u32, jnp.int32), model_axis),
+        jnp.uint32,
+    )
 
 
 def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
@@ -76,9 +97,7 @@ def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
                     digits, shard * local_r, local_r, axis=0
                 )
             raw = ep_contract_pallas_rbn(digits, bk_i, interpret=interpret)
-            if model_axis:
-                raw = lax.psum(raw, model_axis)
-            return acc + ep_combine_planes(raw), None
+            return acc + _psum_delta(ep_combine_planes(raw), model_axis), None
 
         xs = (jnp.zeros((n_dim, 0), jnp.int8), bk_m, a_hat)
         acc, _ = lax.scan(step_p, acc0, xs)
@@ -154,9 +173,7 @@ def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
             if impl == "conv"
             else ep_contract_matmul(digits, bkm_i)
         )
-        if model_axis:
-            raw = lax.psum(raw, model_axis)
-        return acc + ep_combine(raw, k + 1), None
+        return acc + _psum_delta(ep_combine(raw, k + 1), model_axis), None
 
     xs = (
         bk_c if impl == "conv" else jnp.zeros((n_dim, 0), jnp.int8),
@@ -179,10 +196,9 @@ def _key_switch_local(params: TfheParams, ct, ksk_mat_local, model_axis):
         shard = lax.axis_index(model_axis)
         digits = lax.dynamic_slice_in_dim(digits, shard * local_k, local_k, axis=-1)
     acc = jnp.matmul(digits, ksk_mat_local, preferred_element_type=jnp.int32)
-    if model_axis:
-        acc = lax.psum(acc, model_axis)
     to_n1 = ksk_mat_local.shape[1] // NUM_LIMBS
     summ = combine_limb_accs(acc.reshape(lead + (to_n1, NUM_LIMBS)))
+    summ = _psum_delta(summ, model_axis)  # combine-first: 4x less traffic
     out = -summ
     return out.at[..., -1].add(ct[..., from_n])
 
