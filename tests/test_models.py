@@ -222,6 +222,31 @@ class TestBitExactBootstrap:
         ours = np.asarray(mboot.pbs(p, cts, server, tv_enc, impl="ntts"))
         assert np.array_equal(ours, want)
 
+    def test_full_pbs_bit_exact_nttf_interpret(self, shared):
+        """Fused whole-scan block-NTT kernel (ops/pallas/ntt_kernel.py,
+        impl='nttf') in interpret mode: bit-identical to golden (and hence to
+        impl='ntt' — the VERDICT r3 acceptance bar)."""
+        from tfhe_tpu.models.keys import with_ntt_key
+
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(33)
+        p = TEST
+        server_ntt = with_ntt_key(server)
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (2, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        cts = np.stack([
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
+            for m in range(2)
+        ])
+        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
+                         for i in range(2)])
+        ours = np.asarray(
+            mboot.pbs(p, cts, server_ntt, tv_enc, impl="nttf_interpret")
+        )
+        assert np.array_equal(ours, want)
+
     def test_full_pbs_bit_exact_fusedp_interpret(self, shared):
         """Software-pipelined whole-scan kernel (interpret mode): parity
         double-buffered digit staging preserves exact CMUX semantics."""

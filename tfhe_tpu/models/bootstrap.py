@@ -278,8 +278,10 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     # the whole-scan kernels keep the batch VMEM-resident; chunk bigger
     # batches into independent pallas_calls (exact: samples are independent).
     # fusedp's parity digit scratch halves its per-call budget.
-    max_b = 2048 if impl.startswith("fusedp") else _FUSED_MAX_BATCH
-    if impl.startswith(("fused",)) and approx_ct.shape[0] > max_b:
+    max_b = 2048 if impl.startswith("fusedp") else (
+        3072 if impl.startswith("nttf") else _FUSED_MAX_BATCH
+    )
+    if impl.startswith(("fused", "nttf")) and approx_ct.shape[0] > max_b:
         b = approx_ct.shape[0]
         cuts = list(range(0, b, max_b)) + [b]
         return jnp.concatenate(
@@ -335,6 +337,19 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
         return _blind_rotate_bmmp(
             params, approx_ct, server_key.bk_bmmp_lm, tv_encoded,
             interpret=(impl == "bmmp_interpret"),
+        )
+    if impl in ("nttf", "nttf_interpret"):
+        # fused whole-scan block-NTT kernel (ops/pallas/ntt_kernel.py):
+        # acc VMEM-resident, key streamed per step in NTT domain, dense
+        # fwd/INTT transforms + per-bin merged dots.  Bit-exact vs 'ntt'.
+        from tfhe_tpu.ops.ntt import ntt_key_lhs_form
+        from tfhe_tpu.ops.pallas.ntt_kernel import blind_rotate_nttf
+
+        assert server_key.bk_ntt is not None, "keys.with_ntt_key(server_key) required"
+        acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+        return blind_rotate_nttf(
+            params, acc0, ntt_key_lhs_form(server_key.bk_ntt), a_hat,
+            interpret=(impl == "nttf_interpret"),
         )
     if impl == "ntt":
         assert server_key.bk_ntt is not None, "keys.with_ntt_key(server_key) required"

@@ -296,6 +296,72 @@ def make_ep_ntt_key(bk_u32, plan: NttPlan) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# dense single-matmul transform tables + lhs-form key for the fused
+# whole-scan kernel (ops/pallas/ntt_kernel.py, impl="nttf")
+#
+# Inside a Pallas kernel the strided coefficient split c = i*N2 + j1 cannot
+# be realised as a cheap relayout (Mosaic: lane<->sublane movement), so the
+# fused kernel absorbs the split into DENSE [N, N] matrices:
+#   fwd   F[c, bin*N2 + j1'] = delta(j1(c), j1') * w_fwd[i(c), bin]
+#   intt  G[c', bin*N2 + j ] = delta(jout(c'), j) * w_inv[bin, i(c')]
+# paying the delta-sparsity in MACs (N2x) to keep every operation a plain
+# matmul / tile-aligned reshape.  See NOTES_NTT.md "the fused kernel" for
+# the measured consequence.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dense_fwd_np(n1: int, n2: int):
+    """Per prime: (F_hi, F_lo) int8[N, N] with F = F_hi*256 + F_lo (centered
+    w_fwd limbs), mapping flat coefficients -> (bin-major, j1) NTT rows."""
+    n = n1 * n2
+    tabs = _tables(n1)
+    out = []
+    for t in tabs:
+        w = t["w_fwd"].astype(np.int64)  # [i, bin] centered
+        f = np.zeros((n, n), np.int64)
+        i = np.arange(n) // n2
+        j1 = np.arange(n) % n2
+        # F[c, bin*n2 + j1(c)] = w[i(c), bin]
+        for b in range(n1):
+            f[np.arange(n), b * n2 + j1] = w[i, b]
+        lo = ((f + 128) % 256) - 128
+        hi = (f - lo) >> 8
+        out.append((hi.astype(np.int8), lo.astype(np.int8)))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _dense_inv_np(n1: int, n2: int):
+    """Per prime: (G_hi, G_lo) int8[N, N], (bin-major, jout) NTT rows ->
+    flat coefficients c' = i*N2 + jout, with the 1/N1 factor folded in."""
+    n = n1 * n2
+    tabs = _tables(n1)
+    out = []
+    for t in tabs:
+        w = t["w_inv"].astype(np.int64)  # [bin, i] centered
+        g = np.zeros((n, n), np.int64)
+        i = np.arange(n) // n2
+        jout = np.arange(n) % n2
+        # G[c', bin*n2 + jout(c')] = w[bin, i(c')]
+        for b in range(n1):
+            g[np.arange(n), b * n2 + jout] = w[b, i]
+        lo = ((g + 128) % 256) - 128
+        hi = (g - lo) >> 8
+        out.append((hi.astype(np.int8), lo.astype(np.int8)))
+    return out
+
+
+def ntt_key_lhs_form(bk_ntt) -> jnp.ndarray:
+    """``make_ep_ntt_key`` output [..., P, 2(klimb), bins, RN2, CLN2] ->
+    lhs-form int8[..., P, bins, 2*CLN2, RN2] for the fused kernel's per-bin
+    dot (K-limb blocks stacked on rows, contraction transposed)."""
+    x = jnp.swapaxes(bk_ntt, -1, -2)  # [..., P, 2, bins, CLN2, RN2]
+    x = jnp.moveaxis(x, -4, -3)  # [..., P, bins, 2, CLN2, RN2]
+    return x.reshape(x.shape[:-3] + (2 * x.shape[-2], x.shape[-1]))
+
+
+# ---------------------------------------------------------------------------
 # the contraction (per blind-rotation step)
 # ---------------------------------------------------------------------------
 
