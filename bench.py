@@ -115,7 +115,7 @@ def main():
     keygen_s = time.perf_counter() - t0
     bk_mb = sk.bk_u32.nbytes / 1e6
     log(f"keygen (jitted): {keygen_s:.1f}s  bk={bk_mb:.1f}MB")
-    if impl == "ntt":
+    if impl in ("ntt", "nttf"):
         from tfhe_tpu.models.keys import with_ntt_key
 
         t0 = time.perf_counter()

@@ -247,6 +247,27 @@ class TestBitExactBootstrap:
         )
         assert np.array_equal(ours, want)
 
+    def test_full_pbs_bit_exact_fusedl_interpret(self, shared):
+        """Latency kernel (ops/pallas/latency_kernel.py, impl='fusedl'):
+        digit-side Toeplitz expansion, bit-identical to golden at B=2."""
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(41)
+        p = TEST
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (2, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        cts = np.stack([
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
+            for m in range(2)
+        ])
+        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
+                         for i in range(2)])
+        ours = np.asarray(
+            mboot.pbs(p, cts, server, tv_enc, impl="fusedl_interpret")
+        )
+        assert np.array_equal(ours, want)
+
     def test_full_pbs_bit_exact_fusedp_interpret(self, shared):
         """Software-pipelined whole-scan kernel (interpret mode): parity
         double-buffered digit staging preserves exact CMUX semantics."""

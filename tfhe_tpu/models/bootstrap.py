@@ -62,6 +62,7 @@ VALID_IMPLS = (
     "fusedc", "fusedc3", "fusedc_interpret",
     "fusedp", "fusedp3", "fusedp_interpret",
     "bmmp", "bmmp_interpret", "ntt", "ntts", "nttf", "nttf_interpret",
+    "fusedl", "fusedl_interpret",
 )
 
 
@@ -337,6 +338,19 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
         return _blind_rotate_bmmp(
             params, approx_ct, server_key.bk_bmmp_lm, tv_encoded,
             interpret=(impl == "bmmp_interpret"),
+        )
+    if impl in ("fusedl", "fusedl_interpret"):
+        # latency path (B <= 8): digit-side Toeplitz expansion removes the
+        # B-independent key-expansion VPU cost that bounds B=1 latency
+        # (ops/pallas/latency_kernel.py)
+        from tfhe_tpu.ops.pallas.latency_kernel import (
+            bk_latency_operand, blind_rotate_latency,
+        )
+
+        acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+        return blind_rotate_latency(
+            params, acc0, bk_latency_operand(server_key.bk_u32), a_hat,
+            interpret=(impl == "fusedl_interpret"),
         )
     if impl in ("nttf", "nttf_interpret"):
         # fused whole-scan block-NTT kernel (ops/pallas/ntt_kernel.py):

@@ -120,7 +120,7 @@ def _rotate_negacyclic(accp, a, coeff, n: int):
     return jnp.where(wrapped, -rot, rot)
 
 
-def _decompose_kept_int8(diff, dp):
+def _decompose_kept_int8(diff, dp, out_dtype=jnp.int8):
     """Exact signed decomposition (src/decomposer.rs:42-80) -> MSB-first list
     of `levels` int8 digit planes.
 
@@ -154,7 +154,7 @@ def _decompose_kept_int8(diff, dp):
         cm = res & half
         res = res - (cm << 1)  # in [-B/2, B]
         carry = cm >> jnp.int32(dp.log_base - 1)
-        kept.append(res.astype(jnp.int8))
+        kept.append(res.astype(out_dtype))
     kept.reverse()
     return kept
 

@@ -69,9 +69,16 @@ def _rotate_negacyclic_t(accp, a, coeff, n: int):
 
 
 def _mod_center(x, p: int):
-    q = x // jnp.int32(p)  # lowers to multiply-high on TPU
+    """Exact centered residue for |x| <= 2^25.2 (every call site's bound —
+    asserted in comments at each use).  f32-reciprocal quotient: f32 rounding
+    on x (<= 1 ulp at 2^25) and on the product put q within +-1 of
+    round(x/p), so one conditional subtract + one add land r exactly in
+    [-(p//2), p//2].  Integer `//` is avoided deliberately: Mosaic's div
+    lowering crashed the remote compiler at this op count (probe H, r4)."""
+    q = jnp.round(x.astype(jnp.float32) * jnp.float32(1.0 / p)).astype(jnp.int32)
     r = x - q * jnp.int32(p)
-    return r - jnp.int32(p) * (r > jnp.int32(p // 2)).astype(jnp.int32)
+    r = r - jnp.int32(p) * (r > jnp.int32(p // 2)).astype(jnp.int32)
+    return r + jnp.int32(p) * (r < jnp.int32(-(p // 2))).astype(jnp.int32)
 
 
 def _combine3(hh, m, ll, p: int):
@@ -85,7 +92,7 @@ def _split2(x):
 
 
 def _kernel_nttf(a_ref, acc_in_ref, bk_ref, f_ref, g_ref, acc_ref,
-                 d_ref, dh_ref, c_ref, r1_ref, rhs_ref, *,
+                 d_ref, dh_ref, c_ref, r1_ref, *,
                  params: TfheParams, plan: NttPlan, bt: int):
     n = params.degree
     k1 = params.glwe_dimension + 1
@@ -130,16 +137,23 @@ def _kernel_nttf(a_ref, acc_in_ref, bk_ref, f_ref, g_ref, acc_ref,
             dh = _mod_center((o_hi << 8) + o_lo, p)  # [N, bt] centered
             dh_ref[r] = dh.reshape(n1, n2, bt)
 
-        # ---- 3. merged per-bin contraction (fori over bins)
+        # ---- 3. merged per-bin contraction (fori over bins).  Access
+        # patterns here are the probe-verified ones (scripts K1-K7, r4):
+        # static-leading + dynamic-second reads, value concat, dynamic-first
+        # stores — the mixed full-slice/dynamic 4D forms crash Mosaic.
         def bin_body(b, _):
-            x = dh_ref[:, pl.dslice(b, 1)]  # [R, 1, n2, bt] i32
-            x = x.reshape(r_d * n2, bt)
+            pieces = [
+                dh_ref[r, pl.dslice(b, 1)].reshape(n2, bt)
+                for r in range(r_d)
+            ]
+            x = jnp.concatenate(pieces, axis=0)  # [RN2, bt] i32 centered
             hi8, lo8 = _split2(x)
-            rhs_ref[:, 0:bt] = hi8
-            rhs_ref[:, bt : 2 * bt] = lo8
+            rhs = jnp.concatenate(
+                [hi8.astype(jnp.int8), lo8.astype(jnp.int8)], axis=1
+            )  # [RN2, 2*bt]
             k2 = bk_ref[0, pi, b]  # [2*CLN2, RN2] i8
             out = jax.lax.dot_general(
-                k2, rhs_ref[...], (((1,), (0,)), ((), ())),
+                k2, rhs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [2*CLN2, 2*bt]
             cln2 = cl * n2
@@ -147,15 +161,19 @@ def _kernel_nttf(a_ref, acc_in_ref, bk_ref, f_ref, g_ref, acc_ref,
             hl = out[0:cln2, bt : 2 * bt]
             lh = out[cln2 : 2 * cln2, 0:bt]
             ll = out[cln2 : 2 * cln2, bt : 2 * bt]
+            # |hh| <= RN2 * 2^14 = 2^21.2 and every _combine3 intermediate
+            # <= 2^23.4: inside _mod_center's 2^25 domain
             chat = _combine3(hh, hl + lh, ll, p)  # [CLN2, bt] centered
-            c_ref[:, pl.dslice(b, 1)] = chat.reshape(cl, 1, n2, bt)
+            c_ref[pl.dslice(b, 1)] = chat[None]
             return 0
 
         lax.fori_loop(0, n1, bin_body, 0)
 
         # ---- 4. inverse NTT (dense) + CRT lift + limb recombine
         for c_idx in range(cl):
-            x = c_ref[c_idx].reshape(n, bt)  # i32 centered
+            # rows (bin, jout) for this (col, lambda): static sublane slice
+            # (n2-aligned) + free leading-sublane merge
+            x = c_ref[:, c_idx * n2 : (c_idx + 1) * n2, :].reshape(n, bt)
             hi8, lo8 = _split2(x)
 
             def gdot(wl, dl):
@@ -170,7 +188,13 @@ def _kernel_nttf(a_ref, acc_in_ref, bk_ref, f_ref, g_ref, acc_ref,
                 r1_ref[c_idx] = res
             else:
                 r1 = r1_ref[c_idx]
-                t2 = _mod_center((res - r1) * jnp.int32(inv_p1), p2)
+                # centered CRT lift with inv_p1 split into bytes so every
+                # product stays within _mod_center's 2^25 domain:
+                # d*inv_p1 mod p2 == (center(d*ih, p2) << 8) + d*il mod p2
+                d = res - r1  # |d| <= (p1+p2)/2 < 2^15.4
+                ih, il = inv_p1 >> 8, inv_p1 & 255
+                t = _mod_center(d * jnp.int32(ih), p2)  # d*ih <= 2^23.7
+                t2 = _mod_center((t << 8) + d * jnp.int32(il), p2)  # <= 2^23.9
                 s = r1 + jnp.int32(p1) * t2  # |S| < P/2: exact int32
                 col, lam = divmod(c_idx, kl)
                 deltas[col] = deltas[col] + (
@@ -241,9 +265,8 @@ def blind_rotate_nttf(params: TfheParams, acc0, bk_lhs, a_hat,
         scratch_shapes=[
             pltpu.VMEM((r_d, n, bt), jnp.int8),  # digits
             pltpu.VMEM((r_d, plan.n1, plan.n2, bt), jnp.int32),  # D-hat
-            pltpu.VMEM((cl, plan.n1, plan.n2, bt), jnp.int32),  # C-hat
+            pltpu.VMEM((plan.n1, cl * plan.n2, bt), jnp.int32),  # C-hat
             pltpu.VMEM((cl, n, bt), jnp.int32),  # prime-1 residues
-            pltpu.VMEM((r_d * plan.n2, 2 * bt), jnp.int8),  # per-bin rhs
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
