@@ -197,7 +197,7 @@ def main():
         # gates to evaluate (the reference's unit of work is a single gate,
         # src/boolean.rs:9-30).  Separate jit per batch size (static shapes).
         lat = {}
-        for b in (1, 16, 64, 256):
+        for b in (1, 4, 8, 16, 64, 256):
             if b > batch:
                 continue
             try:

@@ -74,6 +74,8 @@ def main():
     from tfhe_tpu.parallel.sharded import make_sharded_gate
 
     params = tfhe.get_params(args.params)
+    # the Pallas kernels need interpret mode on the CPU virtual mesh
+    interpret = args.impl == "pallas" and jax.default_backend() == "cpu"
     devices = jax.devices()
     n_dev = len(devices)
     log(f"platform: {jax.default_backend()}, {n_dev} devices, "
@@ -101,7 +103,8 @@ def main():
         mesh = make_mesh(batch=d, model=1, devices=devices[:d])
         batch = args.batch_per_device * d
         lhs, rhs, ct0, ct1 = make_inputs(batch)
-        gate = make_sharded_gate(mesh, params, "nand", impl=args.impl)
+        gate = make_sharded_gate(mesh, params, "nand", impl=args.impl,
+                                 interpret=interpret)
         best, out = time_best(gate, args.iters, ct0, ct1, sk)
         check(lhs, rhs, out)
         rate = batch / best
@@ -122,7 +125,7 @@ def main():
         batch = args.batch_per_device * 4
         lhs, rhs, ct0, ct1 = make_inputs(batch)
         gate = make_sharded_gate(mesh, params, "nand", impl=args.impl,
-                                 use_model_axis=True)
+                                 use_model_axis=True, interpret=interpret)
         best, out = time_best(gate, args.iters, ct0, ct1, sk)
         check(lhs, rhs, out)
         rate = batch / best
@@ -139,7 +142,8 @@ def main():
         placement = plan_key_placement(params, mesh)
         batch = args.batch_per_device * 4
         lhs, rhs, ct0, ct1 = make_inputs(batch)
-        gate = make_sharded_gate(mesh, params, "nand", impl=args.impl)
+        gate = make_sharded_gate(mesh, params, "nand", impl=args.impl,
+                                 interpret=interpret)
         best, out = time_best(gate, args.iters, ct0, ct1, sk)
         check(lhs, rhs, out)
         rate = batch / best
@@ -175,6 +179,9 @@ def main():
 
     artifact = dict(
         platform=jax.default_backend(),
+        analytic_model="docs/ARCHITECTURE.md section 9.1 (per-mode wire bytes "
+                       "/sample/step + predicted ICI/DCN efficiencies; this "
+                       "artifact is the bit-correctness half only)",
         virtual_devices=jax.default_backend() == "cpu",
         note=(
             "cpu = 8 virtual devices on one socket: efficiency measures "
