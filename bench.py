@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -25,6 +26,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache: the fused-kernel gate costs ~10-15 min to
+# compile through the remote-compile tunnel; cache hits make re-benches and
+# parameter sweeps near-free across processes
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE", "/tmp/tfhe_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 BASELINE_BOOTSTRAPS_PER_SEC = 1000.0
 
@@ -175,10 +185,13 @@ def main():
         ks = jax.jit(lambda e, k: mks.key_switch(
             e, params.glwe_dimension * params.degree, params.ks_decomposer,
             k.ksk_mat))
-        t_lin, approx = time_best(lin, iters, ct0, ct1)
+        # cheap stages amortize over more dispatches: at iters=4 the ~30ms
+        # tunnel RTT still leaves ~7.5ms/call of fake time on ~0.1-2ms stages
+        fast_iters = max(iters, 24)
+        t_lin, approx = time_best(lin, fast_iters, ct0, ct1)
         t_rot, acc = time_best(rot, iters, approx, sk)
-        t_ext, extracted = time_best(ext, iters, acc)
-        t_ks, _ = time_best(ks, iters, extracted, sk)
+        t_ext, extracted = time_best(ext, fast_iters, acc)
+        t_ks, _ = time_best(ks, fast_iters, extracted, sk)
         breakdown["stages_ms"] = {
             "linear+modswitch": round(t_lin * 1e3, 3),
             "blind_rotate": round(t_rot * 1e3, 2),
@@ -203,7 +216,7 @@ def main():
             try:
                 fb = jax.jit(gate)
                 c0b, c1b = ct0[:b], ct1[:b]
-                t, _ = time_best(fb, max(iters, 3), c0b, c1b, sk)
+                t, _ = time_best(fb, max(iters, 8), c0b, c1b, sk)
                 lat[str(b)] = round(t * 1e3, 2)
                 log(f"latency batch={b}: {t*1e3:.1f}ms")
             except Exception as e:  # e.g. a tile shape this impl can't compile
