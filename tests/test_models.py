@@ -368,6 +368,36 @@ class TestBitExactBootstrap:
         chunked = mboot.blind_rotate(p, approx, sk, tv, impl="fused_interpret")
         assert np.array_equal(np.asarray(whole), np.asarray(chunked))
 
+    def test_full_pbs_bit_exact_fusedw_interpret(self, shared):
+        """Wide-dot pipelined whole-scan kernel (impl='fusedw', chain digits):
+        bit-identical to golden; 'fusedwb' (balanced) bit-identical to the
+        fusedb kernel's output (same convention)."""
+        d, bk_g, ksk_g, server, _ = shared
+        rng = np.random.default_rng(43)
+        p = TEST
+        tv_clear = g.construct_identity_test_vector(p)
+        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
+        a = rnd_u32(rng, (2, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        cts = np.stack([
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
+            for m in range(2)
+        ])
+        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
+                         for i in range(2)])
+        ours = np.asarray(
+            mboot.pbs(p, cts, server, tv_enc, impl="fusedw_interpret")
+        )
+        assert np.array_equal(ours, want)
+        from tfhe_tpu.ops.torus import switch_modulus
+
+        approx = switch_modulus(jnp.asarray(cts), p.log_q, p.log_degree + 1)
+        want_b = np.asarray(mboot.blind_rotate(
+            p, approx, server, tv_enc, impl="fusedb_interpret"))
+        ours_b = np.asarray(mboot.blind_rotate(
+            p, approx, server, tv_enc, impl="fusedwb_interpret"))
+        assert np.array_equal(ours_b, want_b)
+
     def test_full_pbs_bit_exact_fusedb_interpret(self, shared):
         """Balanced-digit whole-scan kernel (impl='fusedb', interpret mode):
         bit-identical to an XLA scan running the SAME closed-form balanced

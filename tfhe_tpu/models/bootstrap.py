@@ -61,6 +61,7 @@ VALID_IMPLS = (
     "fused", "fused3", "fusedb", "fused_interpret", "fusedb_interpret",
     "fusedc", "fusedc3", "fusedc_interpret",
     "fusedp", "fusedp3", "fusedp_interpret",
+    "fusedw", "fusedwb", "fusedw_interpret", "fusedwb_interpret",
     "bmmp", "bmmp_interpret", "ntt", "ntts", "nttf", "nttf_interpret",
     "fusedl", "fusedl_interpret",
 )
@@ -280,7 +281,9 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     # batches into independent pallas_calls (exact: samples are independent).
     # fusedp's parity digit scratch halves its per-call budget.
     max_b = 2048 if impl.startswith("fusedp") else (
-        3072 if impl.startswith("nttf") else _FUSED_MAX_BATCH
+        1536 if impl.startswith("fusedw") else (
+            3072 if impl.startswith("nttf") else _FUSED_MAX_BATCH
+        )
     )
     if impl.startswith(("fused", "nttf")) and approx_ct.shape[0] > max_b:
         b = approx_ct.shape[0]
@@ -302,6 +305,20 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
             params, acc0, server_key.bk_u32, a_hat,
             interpret=(impl == "fusedc_interpret"),
             key_limbs=3 if impl == "fusedc3" else 4,
+        )
+    if impl in ("fusedw", "fusedwb", "fusedw_interpret", "fusedwb_interpret"):
+        # wide-dot + software-pipelined whole-scan kernel: column-ordered wide
+        # dots let each poly's next-step digit pipeline overlap the remaining
+        # columns' MXU work (ops/pallas/blind_rotate_kernel.py)
+        from tfhe_tpu.ops.pallas.blind_rotate_kernel import (
+            blind_rotate_fused_wide_pipe,
+        )
+
+        acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+        return blind_rotate_fused_wide_pipe(
+            params, acc0, server_key.bk_u32, a_hat,
+            interpret=impl.endswith("_interpret"),
+            balanced=impl.startswith("fusedwb"),
         )
     if impl in ("fusedp", "fusedp3", "fusedp_interpret"):
         # software-pipelined whole-scan kernel: step s+1's digit pipeline

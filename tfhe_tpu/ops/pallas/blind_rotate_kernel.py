@@ -289,6 +289,109 @@ def _kernel_wide(a_ref, acc_in_ref, bk_full_ref, acc_ref, w_ref, *,
     acc_ref[tile] = jnp.stack(new_planes)
 
 
+def _kernel_wide_pipe(a_next_ref, a0_ref, acc_in_ref, bk_full_ref, acc_ref,
+                      w_ref, d_ref, *, params: TfheParams, bt: int,
+                      n_tiles: int, key_limbs: int, balanced: bool):
+    """Wide-dot + software-pipelined variant: per-COLUMN wide dots so that
+    column c's accumulator plane is final immediately after its dot, letting
+    that poly's step-s+1 digit pipeline (VPU barrel + decompose) overlap the
+    remaining columns' MXU work — the narrow ``_kernel_pipe`` idea applied to
+    the wide layout that actually wins on hardware.
+
+    Staged digits live as ONE lane-concatenated block [bt, R_d*N] per (parity,
+    tile) (poly-major lane slices, 3072-aligned stores); the contraction for
+    column c is a single [bt, R_d*N] x [R_d*N, key_limbs*N] dot against the
+    column's lane slice of the wide Toeplitz scratch.  The accumulator is
+    still written once per step as a stacked block (per-plane ref stores blow
+    Mosaic compile time — see ``_kernel_wide``); the staging reads the plane
+    VALUES, not the ref.  r3 probes: the serial digit chain is the only
+    digit cost the wide kernel leaves exposed (~8% of the step at bt=512);
+    this kernel hides it.  Exact CMUX semantics (src/ggsw.rs:164-178);
+    ``balanced`` selects the closed-form digit convention (DIVERGENCES.md #3).
+    """
+    n = params.degree
+    k1 = params.glwe_dimension + 1
+    dp = params.pbs_decomposer
+    levels = dp.levels
+    r_d = k1 * levels
+    drop = NUM_LIMBS - key_limbs
+    lw = levels * n  # lanes per poly's digit block
+
+    step = pl.program_id(0)
+    tile = pl.program_id(1)
+    coeff = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
+    dec = _decompose_balanced_int8 if balanced else _decompose_kept_int8
+
+    # ---- Toeplitz expansion for step s (identical to _kernel_wide)
+    @pl.when(tile == 0)
+    def _():
+        bk_step = bk_full_ref[0]  # [R_d*(k+1), N] u32
+        for rd in range(r_d):
+            for col in range(k1):
+                g = bk_step[rd * k1 + col : rd * k1 + col + 1, :]
+                g_ext = jnp.concatenate([g, -g], axis=1)
+                base = jnp.broadcast_to(g_ext, (n, 2 * n))
+                circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
+                w = circ[:, :n] + jnp.uint32(0x80808080)
+                for i, l in enumerate(range(drop, NUM_LIMBS)):
+                    limb = ((w >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32
+                    ) - 128
+                    c0 = (col * key_limbs + i) * n
+                    w_ref[rd * n : (rd + 1) * n, c0 : c0 + n] = limb.astype(
+                        jnp.int8
+                    )
+
+    # ---- prologue: stage step-0 digits from the initial accumulator
+    @pl.when(step == 0)
+    def _():
+        acc_ref[tile] = acc_in_ref[tile]
+        a0 = a0_ref[0]  # [bt, 1]
+        for poly in range(k1):
+            accp = acc_in_ref[tile, poly]
+            rot = _rotate_negacyclic(accp, a0, coeff, n)
+            d8s = dec(rot - accp, dp)
+            d_ref[0, tile, :, poly * lw : (poly + 1) * lw] = jnp.concatenate(
+                d8s, axis=1
+            )
+
+    a_next = a_next_ref[0, 0]  # [bt, 1] int32: step s+1's exponents
+
+    def body(ri: int, wi: int):
+        dp_all = d_ref[ri, tile]  # [bt, R_d*N] staged digits of step s
+        new_planes = []
+        for col in range(k1):
+            comb = jnp.dot(
+                dp_all,
+                w_ref[:, col * key_limbs * n : (col + 1) * key_limbs * n],
+                preferred_element_type=jnp.int32,
+            )  # [bt, key_limbs*N]
+            delta = jnp.zeros((bt, n), jnp.uint32)
+            for i, l in enumerate(range(drop, NUM_LIMBS)):
+                delta = delta + (
+                    comb[:, i * n : (i + 1) * n].astype(jnp.uint32)
+                    << jnp.uint32(8 * l)
+                )
+            plane = acc_ref[tile, col] + delta
+            new_planes.append(plane)
+            # VPU: this poly's step-s+1 digits — independent of the remaining
+            # columns' dots, so the scheduler overlaps them
+            rot = _rotate_negacyclic(plane, a_next, coeff, n)
+            d8s = dec(rot - plane, dp)
+            d_ref[wi, tile, :, col * lw : (col + 1) * lw] = jnp.concatenate(
+                d8s, axis=1
+            )
+        acc_ref[tile] = jnp.stack(new_planes)
+
+    @pl.when(step % 2 == 0)
+    def _():
+        body(0, 1)
+
+    @pl.when(step % 2 == 1)
+    def _():
+        body(1, 0)
+
+
 def _kernel_pipe(a_next_ref, a0_ref, acc_in_ref, bk_full_ref, acc_ref,
                  w_ref, d_ref, *, params: TfheParams, bt: int, n_tiles: int,
                  key_limbs: int):
@@ -602,6 +705,77 @@ def blind_rotate_fused_cols(params: TfheParams, acc0, bk_u32, a_hat,
         ),
         interpret=interpret,
     )(a_tiles, acc0_tiles, bk_cols)
+    return jnp.swapaxes(out, 1, 2).reshape(batch, k1, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "interpret", "batch_tile", "key_limbs",
+                     "balanced"),
+)
+def blind_rotate_fused_wide_pipe(params: TfheParams, acc0, bk_u32, a_hat,
+                                 interpret=False, batch_tile: int | None = None,
+                                 key_limbs: int = NUM_LIMBS,
+                                 balanced: bool = False):
+    """Wide-dot software-pipelined whole-scan rotation (``_kernel_wide_pipe``).
+
+    The parity digit scratch costs 2*B*R_d*N int8 (B*18.4KB at default_128)
+    on top of the 57MB wide Toeplitz scratch, bounding B at ~1536 per call;
+    bigger batches are chunked by the caller.  Bit-exact vs the matching
+    digit convention's other backends."""
+    batch, k1, n = acc0.shape
+    steps, r_dim = bk_u32.shape[0], bk_u32.shape[1]
+    assert 1 <= key_limbs <= NUM_LIMBS
+    if batch_tile is None:
+        bt = next(t for t in range(min(batch, 512), 0, -1) if batch % t == 0)
+    else:
+        bt = batch_tile
+    assert batch % bt == 0, (batch, bt)
+    n_tiles = batch // bt
+    r_d = k1 * params.pbs_decomposer.levels
+
+    acc0_tiles = jnp.swapaxes(acc0.reshape(n_tiles, bt, k1, n), 1, 2)
+    a_pad = jnp.concatenate(
+        [a_hat, jnp.zeros((1,) + a_hat.shape[1:], a_hat.dtype)], axis=0
+    )
+    a_tiles = a_pad.reshape(steps + 1, n_tiles, bt, 1)
+    a0 = a_hat[0].reshape(n_tiles, bt, 1)
+    bk_flat = bk_u32.reshape(steps, r_dim * k1, n)
+    out = pl.pallas_call(
+        functools.partial(_kernel_wide_pipe, params=params, bt=bt,
+                          n_tiles=n_tiles, key_limbs=key_limbs,
+                          balanced=balanced),
+        grid=(steps, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, bt, 1), lambda s, t: (s + 1, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1), lambda s, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, k1, bt, n), lambda s, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_dim * k1, n), lambda s, t: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_tiles, k1, bt, n), lambda s, t: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k1, bt, n), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((r_d * n, k1 * key_limbs * n), jnp.int8),
+            pltpu.VMEM((2, n_tiles, bt, r_d * n), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_tuning()[2],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * batch * r_d * k1 * n * n * key_limbs,
+            bytes_accessed=steps * r_d * k1 * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_tiles, a0, acc0_tiles, bk_flat)
     return jnp.swapaxes(out, 1, 2).reshape(batch, k1, n)
 
 
