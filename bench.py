@@ -157,9 +157,12 @@ def main():
 
     breakdown = {
         "impl": impl,
-        # fusedb = closed-form balanced digits: exact mod-2^32, digit
-        # convention differs from the reference trace (DIVERGENCES.md #3)
-        "digit_convention": "balanced-exact" if impl == "fusedb" else "reference",
+        # balanced closed-form digits: exact mod-2^32, digit convention
+        # differs from the reference trace (DIVERGENCES.md #3)
+        "digit_convention": (
+            "balanced-exact"
+            if impl.startswith(("fusedb", "fusedwb")) else "reference"
+        ),
         "batch": batch,
         "keygen_s": round(keygen_s, 2),
         "bk_mbytes": round(bk_mb, 1),
