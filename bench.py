@@ -70,7 +70,9 @@ def main():
     from tfhe_tpu.models.bootstrap import VALID_IMPLS
 
     ap.add_argument("--impl", default="auto", choices=list(VALID_IMPLS))
-    ap.add_argument("--iters", type=int, default=4)
+    # 8 dispatches/round: the single end-of-round sync costs ~30ms through
+    # the tunnel, so per-call residual is ~3.8ms (~0.5% at B=3072)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--no-check", action="store_true",
                     help="skip the same-run correctness/noise verification")
     ap.add_argument("--no-stages", action="store_true",

@@ -308,6 +308,13 @@ def _kernel_wide_pipe(a_next_ref, a0_ref, acc_in_ref, bk_full_ref, acc_ref,
     digit cost the wide kernel leaves exposed (~8% of the step at bt=512);
     this kernel hides it.  Exact CMUX semantics (src/ggsw.rs:164-178);
     ``balanced`` selects the closed-form digit convention (DIVERGENCES.md #3).
+
+    MEASURED (v5e, default_128, B=3072 as 2x1536 chunks, bt=512): 3,489
+    boots/s, 0 errors (ARTIFACTS/bench_fusedwb_r4.json) — LOSES to the plain
+    wide kernel's 4,021: the column-ordered dots and the staged digit block's
+    extra VMEM round trip cost more than the ~8% serial-digit exposure they
+    hide, and the B<=1536 scratch bound forfeits the bt=768 tile.  Kept as a
+    tested variant; ``fused``/``fusedb`` remain the throughput default.
     """
     n = params.degree
     k1 = params.glwe_dimension + 1
