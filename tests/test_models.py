@@ -249,20 +249,22 @@ class TestBitExactBootstrap:
 
     def test_full_pbs_bit_exact_fusedl_interpret(self, shared):
         """Latency kernel (ops/pallas/latency_kernel.py, impl='fusedl'):
-        digit-side Toeplitz expansion, bit-identical to golden at B=2."""
+        digit-side Toeplitz expansion, bit-identical to golden.  B=1 keeps
+        the interpret emulation of the per-(sample, row) strided rolls
+        tractable (~10 min; B=2 doubled it); hardware bit-exactness at B=8
+        is asserted by the bench artifact (ARTIFACTS/latency_r4.json,
+        0/8 gate errors, reference digit convention)."""
         d, bk_g, ksk_g, server, _ = shared
         rng = np.random.default_rng(41)
         p = TEST
         tv_clear = g.construct_identity_test_vector(p)
         tv_enc = jnp.asarray(mtv.identity_test_vector(p))
-        a = rnd_u32(rng, (2, p.lwe_dimension))
-        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
+        a = rnd_u32(rng, (1, p.lwe_dimension))
+        e = gaussian_u32(rng, p.lwe_std_dev, (1,))
         cts = np.stack([
-            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
-            for m in range(2)
+            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(1, p), a[0], e[0])
         ])
-        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
-                         for i in range(2)])
+        want = np.stack([g.bootstrap(cts[0], bk_g, ksk_g, tv_clear, p)])
         ours = np.asarray(
             mboot.pbs(p, cts, server, tv_enc, impl="fusedl_interpret")
         )
