@@ -165,6 +165,10 @@ def main():
             "balanced-exact"
             if impl.startswith(("fusedb", "fusedwb")) else "reference"
         ),
+        # truncated-key modes drop the low key byte with rounding: 25% less
+        # MXU work, approximate (noise argument in the kernel docstring)
+        "approx_truncated_key": impl in ("fused3", "fusedb3", "fusedc3",
+                                         "fusedp3"),
         "batch": batch,
         "keygen_s": round(keygen_s, 2),
         "bk_mbytes": round(bk_mb, 1),

@@ -58,7 +58,8 @@ _FUSED_MAX_BATCH = 4096
 #: the balanced digit convention (exact mod 2^32, DIVERGENCES.md #3).
 VALID_IMPLS = (
     "auto", "conv", "matmul", "pallas", "pallas_interpret",
-    "fused", "fused3", "fusedb", "fused_interpret", "fusedb_interpret",
+    "fused", "fused3", "fusedb", "fusedb3", "fused_interpret",
+    "fusedb_interpret",
     "fusedc", "fusedc3", "fusedc_interpret",
     "fusedp", "fusedp3", "fusedp_interpret",
     "fusedw", "fusedwb", "fusedw_interpret", "fusedwb_interpret",
@@ -332,7 +333,7 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
             interpret=(impl == "fusedp_interpret"),
             key_limbs=3 if impl == "fusedp3" else 4,
         )
-    if impl in ("fused", "fused3", "fused_interpret", "fusedb",
+    if impl in ("fused", "fused3", "fused_interpret", "fusedb", "fusedb3",
                 "fusedb_interpret"):
         # whole-scan Pallas kernel: acc VMEM-resident for all n steps, BK
         # streamed per step (ops/pallas/blind_rotate_kernel.py).  ``fused3``
@@ -340,14 +341,14 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
         # kernel docstring for the noise argument).  ``fusedb`` swaps in the
         # closed-form balanced decomposition — exact mod-2^32, no carry
         # chain, digit convention differs from the reference trace
-        # (DIVERGENCES.md).
+        # (DIVERGENCES.md).  ``fusedb3`` combines both (fastest, approximate).
         from tfhe_tpu.ops.pallas.blind_rotate_kernel import blind_rotate_fused
 
         acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
         return blind_rotate_fused(
             params, acc0, server_key.bk_u32, a_hat,
             interpret=impl.endswith("_interpret"),
-            key_limbs=3 if impl == "fused3" else 4,
+            key_limbs=3 if impl in ("fused3", "fusedb3") else 4,
             balanced=impl.startswith("fusedb"),
         )
     if impl in ("bmmp", "bmmp_interpret"):
