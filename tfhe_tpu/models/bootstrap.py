@@ -282,9 +282,7 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     # batches into independent pallas_calls (exact: samples are independent).
     # fusedp's parity digit scratch halves its per-call budget.
     max_b = 2048 if impl.startswith("fusedp") else (
-        1536 if impl.startswith("fusedw") else (
-            3072 if impl.startswith("nttf") else _FUSED_MAX_BATCH
-        )
+        1536 if impl.startswith(("fusedw", "nttf")) else _FUSED_MAX_BATCH
     )
     if impl.startswith(("fused", "nttf")) and approx_ct.shape[0] > max_b:
         b = approx_ct.shape[0]

@@ -219,8 +219,10 @@ def blind_rotate_nttf(params: TfheParams, acc0, bk_lhs, a_hat,
     assert n == plan.n
     # tile alignment of the [*, n2, bt] scratch views (i32 tiles = 8 sublanes)
     assert plan.n2 % 8 == 0, plan.n2
+    # bt=768 fits the per-prime scratch budget at B <= 1536 per call
+    # (dh 28.3 + c 14.2 + r1 14.2 + digits 7.1 + acc 2x9.4 + key/FG ~10 MB)
     bt = batch_tile or next(
-        t for t in range(min(batch, 512), 0, -1) if batch % t == 0
+        t for t in range(min(batch, 768), 0, -1) if batch % t == 0
     )
     assert batch % bt == 0, (batch, bt)
     n_tiles = batch // bt
