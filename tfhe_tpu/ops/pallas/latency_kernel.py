@@ -12,9 +12,12 @@ This kernel flips the expansion to the DIGIT side:
 
   * per sample, the R = (k+1)*levels digit polynomials (reference carry
     chain, src/decomposer.rs:42-80) are expanded into ONE negacyclic
-    circulant operand D[(r,t), j] = +-d_r[(j-t) mod N] — R strided i32
-    rolls (18 at default_128) instead of R*(k+1) rolls + 4-limb peels (the
-    digit operand needs no limb split: digits are already int8-range);
+    circulant operand D[(r,t), j] = +-d_r[(j-t) mod N] — with FOUR digit
+    rows packed per u32 byte-lane, so ceil(R/4) = 5 strided rolls per
+    sample (vs the throughput kernels' 54 key-side rolls per step), each
+    roll carrying four rows' circulants in its byte planes (rolls permute
+    whole lanes; bytewise-negated rows ride in the negacyclic extension,
+    sign-extending peels recover the int8 rows exactly);
   * the key rides pre-laid as int8 limb rows K[step][(col,limb), (r,t)]
     (``bk_latency_operand``, built once at key load: same 79.8 MB as the
     canonical BK) and streams one 110 KB slice per step;
@@ -81,24 +84,45 @@ def _kernel_latency(a_ref, acc_in_ref, bk_ref, acc_ref, d_ref, *,
     a = a_ref[0]  # [batch, 1] int32
     coeff = jax.lax.broadcasted_iota(jnp.int32, (batch, n), 1)
 
-    # digits for ALL samples first (normal orientation, batch on sublanes)
-    digs = []  # per poly: list of levels int32 planes [batch, N]
+    # digits for ALL samples first (normal orientation, batch on sublanes),
+    # then PACKED four rows per u32 byte-lane: a single strided roll builds
+    # four rows' circulants at once (rolls are lane permutations, so the
+    # four byte planes ride independently), quartering the roll count —
+    # the dominant per-sample cost (5 rolls/sample vs 18)
+    flat = []  # R int32 digit planes [batch, N] in canonical row order
     for poly in range(k1):
         accp = acc_ref[poly]  # [batch, N] u32
         rot = _rotate_negacyclic(accp, a, coeff, n)
-        digs.append(_decompose_kept_int8(rot - accp, dp, out_dtype=jnp.int32))
+        flat.extend(_decompose_kept_int8(rot - accp, dp, out_dtype=jnp.int32))
+    n_groups = -(-r_d // 4)
+    packed = []  # per group: (pos_u32, neg_u32) [batch, N]
+    for gidx in range(n_groups):
+        rows = flat[4 * gidx : 4 * gidx + 4]
+        pos = jnp.zeros((batch, n), jnp.uint32)
+        neg = jnp.zeros((batch, n), jnp.uint32)
+        for l, d in enumerate(rows):
+            pos = pos | ((d.astype(jnp.uint32) & jnp.uint32(0xFF))
+                         << jnp.uint32(8 * l))
+            neg = neg | (((-d).astype(jnp.uint32) & jnp.uint32(0xFF))
+                         << jnp.uint32(8 * l))
+        packed.append((pos, neg, len(rows)))
 
     klhs = bk_ref[0]  # [(k+1)*4, R*N] int8
     for b in range(batch):
-        # build this sample's digit circulant D[(r,t), j] = +-d_r[(j-t)%N]
-        for poly in range(k1):
-            for j in range(levels):
-                g = digs[poly][j][b : b + 1, :]  # [1, N] int32
-                g_ext = jnp.concatenate([g, -g], axis=1)
-                base = jnp.broadcast_to(g_ext, (n, 2 * n))
-                circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)
-                r = poly * levels + j
-                d_ref[r * n : (r + 1) * n, :] = circ[:, :n].astype(jnp.int8)
+        # build this sample's digit circulant D[(r,t), j] = +-d_r[(j-t)%N]:
+        # one u32 roll per 4-row group, then sign-extending byte peels
+        for gidx, (pos, neg, nrows) in enumerate(packed):
+            g_ext = jnp.concatenate(
+                [pos[b : b + 1, :], neg[b : b + 1, :]], axis=1
+            )  # [1, 2N] u32: second half holds the bytewise-negated rows
+            base = jnp.broadcast_to(g_ext, (n, 2 * n))
+            circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)[:, :n]
+            for l in range(nrows):
+                t = (circ >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)
+                t = t.astype(jnp.int32)
+                limb = t - ((t & 128) << 1)  # sign-extend the byte
+                r = 4 * gidx + l
+                d_ref[r * n : (r + 1) * n, :] = limb.astype(jnp.int8)
         out = jax.lax.dot_general(
             klhs, d_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
