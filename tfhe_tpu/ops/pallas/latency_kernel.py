@@ -107,10 +107,11 @@ def _kernel_latency(a_ref, acc_in_ref, bk_ref, acc_ref, d_ref, *,
                          << jnp.uint32(8 * l))
         packed.append((pos, neg, len(rows)))
 
-    klhs = bk_ref[0]  # [(k+1)*4, R*N] int8
+    # build every sample's digit circulant D_b[(r,t), j] = +-d_r[(j-t)%N]
+    # side by side in the scratch's lane blocks (one u32 roll per 4-row
+    # group per sample, sign-extending byte peels), then contract ALL
+    # samples in ONE dot — the key operand loads once instead of B times
     for b in range(batch):
-        # build this sample's digit circulant D[(r,t), j] = +-d_r[(j-t)%N]:
-        # one u32 roll per 4-row group, then sign-extending byte peels
         for gidx, (pos, neg, nrows) in enumerate(packed):
             g_ext = jnp.concatenate(
                 [pos[b : b + 1, :], neg[b : b + 1, :]], axis=1
@@ -122,15 +123,20 @@ def _kernel_latency(a_ref, acc_in_ref, bk_ref, acc_ref, d_ref, *,
                 t = t.astype(jnp.int32)
                 limb = t - ((t & 128) << 1)  # sign-extend the byte
                 r = 4 * gidx + l
-                d_ref[r * n : (r + 1) * n, :] = limb.astype(jnp.int8)
-        out = jax.lax.dot_general(
-            klhs, d_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [(k+1)*4, N]
+                d_ref[r * n : (r + 1) * n, b * n : (b + 1) * n] = limb.astype(
+                    jnp.int8
+                )
+    klhs = bk_ref[0]  # [(k+1)*4, R*N] int8
+    out = jax.lax.dot_general(
+        klhs, d_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [(k+1)*4, batch*N]
+    for b in range(batch):
         for col in range(k1):
             delta = jnp.zeros((1, n), jnp.uint32)
             for l in range(NUM_LIMBS):
-                row = out[col * NUM_LIMBS + l : col * NUM_LIMBS + l + 1, :]
+                row = out[col * NUM_LIMBS + l : col * NUM_LIMBS + l + 1,
+                          b * n : (b + 1) * n]
                 delta = delta + (row.astype(jnp.uint32) << jnp.uint32(8 * l))
             acc_ref[col, b : b + 1, :] += delta
 
@@ -163,7 +169,7 @@ def blind_rotate_latency(params: TfheParams, acc0, bk_lat, a_hat,
         out_specs=pl.BlockSpec((k1, batch, n), lambda s: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k1, batch, n), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((r_d * n, n), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((r_d * n, batch * n), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
