@@ -115,18 +115,30 @@ def main():
                 "convention, exact mod 2^32 but not reference-trace-"
                 "bit-exact; see DIVERGENCES.md #3). Use --impl fused for "
                 "the reference-bit-exact kernel.")
-    batch = args.batch or (
-        (3072 if impl.startswith("fused") else 1024) if on_tpu else 64
-    )
+    if impl.startswith(("fusedl", "bmmpl")):
+        # latency kernels are B-capped by design (see latency_kernel.py)
+        batch = args.batch or (8 if impl.startswith("fusedl") else 4)
+    else:
+        batch = args.batch or (
+            (3072 if impl.startswith("fused") else 1024) if on_tpu else 64
+        )
     iters = args.iters
     log(f"device: {dev}, params: {params.name}, impl: {impl}, batch: {batch}")
 
     t0 = time.perf_counter()
-    ck, sk = jax.jit(partial(keygen, params, bmmp=(impl == "bmmp")))(jax.random.key(0))
+    need_bmmp = impl in ("bmmp", "bmmp_interpret", "bmmpl", "bmmpl_interpret")
+    ck, sk = jax.jit(partial(keygen, params, bmmp=need_bmmp))(jax.random.key(0))
     jax.block_until_ready(sk.bk_u32)
     keygen_s = time.perf_counter() - t0
     bk_mb = sk.bk_u32.nbytes / 1e6
     log(f"keygen (jitted): {keygen_s:.1f}s  bk={bk_mb:.1f}MB")
+    if impl.startswith(("fusedl", "bmmpl")):
+        from tfhe_tpu.models.keys import with_latency_key
+
+        t0 = time.perf_counter()
+        sk = jax.jit(with_latency_key)(sk)
+        jax.block_until_ready(sk.bk_lat)
+        log(f"latency key prep (jitted): {time.perf_counter()-t0:.1f}s")
     if impl in ("ntt", "nttf"):
         from tfhe_tpu.models.keys import with_ntt_key
 
@@ -219,6 +231,7 @@ def main():
         # gates to evaluate (the reference's unit of work is a single gate,
         # src/boolean.rs:9-30).  Separate jit per batch size (static shapes).
         lat = {}
+        lat_sync = {}
         for b in (1, 4, 8, 16, 64, 256):
             if b > batch:
                 continue
@@ -227,11 +240,24 @@ def main():
                 c0b, c1b = ct0[:b], ct1[:b]
                 t, _ = time_best(fb, max(iters, 8), c0b, c1b, sk)
                 lat[str(b)] = round(t * 1e3, 2)
-                log(f"latency batch={b}: {t*1e3:.1f}ms")
+                # per-call-synced wall clock (ADVICE r4): what a real
+                # single-gate caller pays INCLUDING the host sync — through
+                # this tunnel that adds the ~30ms RTT, so it is an upper
+                # bound; on a local host the truth sits near the amortized
+                # number plus dispatch (~0.1ms)
+                ts = float("inf")
+                for _ in range(max(iters, 8)):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(fb(c0b, c1b, sk))
+                    ts = min(ts, time.perf_counter() - t0)
+                lat_sync[str(b)] = round(ts * 1e3, 2)
+                log(f"latency batch={b}: {t*1e3:.1f}ms amortized, "
+                    f"{ts*1e3:.1f}ms per-call-synced")
             except Exception as e:  # e.g. a tile shape this impl can't compile
                 lat[str(b)] = f"failed: {type(e).__name__}"
                 log(f"latency batch={b}: FAILED {type(e).__name__}")
         breakdown["latency_ms"] = lat
+        breakdown["latency_synced_ms"] = lat_sync
 
     if args.trace:
         from tfhe_tpu.utils.profiling import capture_trace

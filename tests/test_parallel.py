@@ -226,6 +226,109 @@ def test_pipeline_ntt_bit_exact(keys, cts):
     assert np.array_equal(out[0], want)
 
 
+class TestCollectiveTraffic:
+    """Machine-check of the ARCHITECTURE section 9.1 wire-traffic table: the
+    collective payloads of every sharded mode are read out of the COMPILED
+    gate's HLO (post-SPMD) on the virtual mesh and asserted equal to the
+    closed-form model in ``parallel/traffic.py`` — the same model that
+    generates SCALING.json's predicted efficiencies.  Catches any regression
+    that silently moves raw int32 limb planes instead of combined u32 deltas
+    (4x the wire bytes; the r5 audit caught exactly this in the coeffs
+    mode)."""
+
+    def _abstract_args(self, p, batch, impl, m_micro=0):
+        import jax.numpy as jnp
+
+        k1 = p.glwe_dimension + 1
+        rows = k1 * p.pbs_decomposer.levels
+        n, n_deg = p.lwe_dimension, p.degree
+        S = jax.ShapeDtypeStruct
+        ct_shape = (m_micro, batch, n + 1) if m_micro else (batch, n + 1)
+        ct = S(ct_shape, jnp.uint32)
+        bk_conv = S((n, k1 * 4, rows, n_deg), jnp.int8)
+        if impl == "ntt":
+            from tfhe_tpu.ops.ntt import PRIMES, plan_for_params
+
+            plan = plan_for_params(p)
+            bk_rows = S(
+                (n, len(PRIMES), 2, plan.n1, rows * plan.n2,
+                 k1 * plan.key_limbs * plan.n2),
+                jnp.int8,
+            )
+        else:
+            bk_rows = S((n, rows, k1, n_deg), jnp.uint32)
+        ksk = S(
+            (p.glwe_dimension * n_deg * p.ks_decomposer.levels, (n + 1) * 4),
+            jnp.int8,
+        )
+        return ct, ct, bk_conv, bk_rows, ksk
+
+    def _audit(self, gate_fn, p, batch, impl, m_micro=0):
+        from tfhe_tpu.parallel.traffic import gate_collectives
+
+        args = self._abstract_args(p, batch, impl, m_micro)
+        if m_micro:  # pipelined gate takes (ct0, ct1, bk, ksk)
+            args = (args[0], args[1], args[3 if impl != "conv" else 2], args[4])
+        got = {}
+        for c in gate_collectives(gate_fn.run_jit, *args):
+            got.setdefault(c.kind, set()).add(c.bytes)
+        return got
+
+    @pytest.mark.parametrize(
+        "impl,mode", [("matmul", "tp"), ("coeffs", "coeffs"), ("ntt", "ntt")]
+    )
+    def test_model_axis_payloads_match_model(self, impl, mode):
+        from tfhe_tpu.parallel.traffic import expected_collectives
+
+        mesh = make_mesh(batch=4, model=2)
+        gate_fn = make_sharded_gate(mesh, TEST, "nand", impl=impl,
+                                    use_model_axis=True)
+        got = self._audit(gate_fn, TEST, batch=8, impl=impl)
+        want = expected_collectives(TEST, mode, batch_local=2)
+        assert got == want, (got, want)
+
+    def test_dp_has_no_steady_state_collectives(self):
+        mesh = make_mesh(batch=8, model=1)
+        gate_fn = make_sharded_gate(mesh, TEST, "nand", impl="matmul")
+        got = self._audit(gate_fn, TEST, batch=8, impl="matmul")
+        assert got == {}, got
+
+    def test_pipeline_payloads_match_model(self):
+        from tfhe_tpu.parallel.mesh import make_pipeline_mesh
+        from tfhe_tpu.parallel.pipeline import make_pipelined_gate
+        from tfhe_tpu.parallel.traffic import expected_collectives
+
+        m_micro = 3
+        mesh = make_pipeline_mesh(batch=4, stage=2)
+        gate_fn = make_pipelined_gate(mesh, TEST, "nand", impl="matmul")
+        got = self._audit(gate_fn, TEST, batch=8, impl="matmul",
+                          m_micro=m_micro)
+        want = expected_collectives(TEST, "pp", batch_local=2,
+                                    m_microbatches=m_micro)
+        assert got == want, (got, want)
+
+    def test_section_9_1_table_values(self):
+        """The per-sample/step wire-byte numbers printed in ARCHITECTURE
+        section 9.1 at default_128 derive from the same payload model the
+        HLO checks above pin to the code."""
+        from tfhe_tpu.parallel.traffic import wire_bytes_per_sample_step
+
+        d128 = get_params("default_128")
+        # TP: 2*(D-1)/D * (k+1)*N*4 -> 6144 at D=2, up to 12288
+        assert wire_bytes_per_sample_step(d128, "tp", 2) == 6144.0
+        assert abs(wire_bytes_per_sample_step(d128, "tp", 1024) - 12288) < 24
+        # SP coeffs: half the TP bytes (gather, not ring all-reduce)
+        assert wire_bytes_per_sample_step(d128, "coeffs", 2) == 3072.0
+        # DP: zero steady-state
+        assert wire_bytes_per_sample_step(d128, "dp", 8) == 0.0
+        # PP: one 6 KB hop per stage boundary amortized over n=722 steps
+        pp = wire_bytes_per_sample_step(d128, "pp", 4)
+        assert abs(pp - 6144 * 3 / 722) < 0.01
+        # NTT-bin: orders of magnitude above the rest (the 9.1 "cannot ride
+        # ICI" row)
+        assert wire_bytes_per_sample_step(d128, "ntt", 2) > 100_000
+
+
 def test_ntt_bin_sharded_bit_exact(keys, cts, reference_out):
     """Sharded-NTT external product (NTT bins over the model axis, raw INTT
     limb planes psum'd per step) is bit-identical to single-device conv."""

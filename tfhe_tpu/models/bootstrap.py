@@ -64,8 +64,11 @@ VALID_IMPLS = (
     "fusedp", "fusedp3", "fusedp_interpret",
     "fusedw", "fusedwb", "fusedw_interpret", "fusedwb_interpret",
     "bmmp", "bmmp_interpret", "ntt", "ntts", "nttf", "nttf_interpret",
-    "fusedl", "fusedl_interpret",
+    "fusedl", "fusedl_interpret", "bmmpl", "bmmpl_interpret",
 )
+
+#: latency-path impls (small-batch whole-scan kernels; never batch-chunked)
+_LATENCY_IMPLS = ("fusedl", "fusedl_interpret", "bmmpl", "bmmpl_interpret")
 
 
 def resolve_impl(impl: str) -> str:
@@ -278,13 +281,27 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
     (the *encoded* test vector, src/bootstrapping.rs:82-86).
     """
     impl = resolve_impl(impl)
+    if impl in _LATENCY_IMPLS:
+        # validate up front (ADVICE r4): the latency kernels are B-capped by
+        # design; big batches belong on the throughput kernels, not chunked
+        # through a kernel whose whole point is the B <= 8 regime
+        from tfhe_tpu.ops.pallas import latency_kernel as latk
+
+        cap = (latk.MAX_LATENCY_BATCH if impl.startswith("fusedl")
+               else latk.MAX_LATENCY_BATCH_BMMP)
+        if approx_ct.shape[0] > cap:
+            raise ValueError(
+                f"impl={impl!r} is the small-batch latency path (B <= {cap});"
+                f" got B={approx_ct.shape[0]} — use a throughput impl"
+                " ('fused'/'fusedb'/'pallas') for large batches")
     # the whole-scan kernels keep the batch VMEM-resident; chunk bigger
     # batches into independent pallas_calls (exact: samples are independent).
     # fusedp's parity digit scratch halves its per-call budget.
     max_b = 2048 if impl.startswith("fusedp") else (
         1536 if impl.startswith(("fusedw", "nttf")) else _FUSED_MAX_BATCH
     )
-    if impl.startswith(("fused", "nttf")) and approx_ct.shape[0] > max_b:
+    if (impl.startswith(("fused", "nttf")) and impl not in _LATENCY_IMPLS
+            and approx_ct.shape[0] > max_b):
         b = approx_ct.shape[0]
         cuts = list(range(0, b, max_b)) + [b]
         return jnp.concatenate(
@@ -356,17 +373,39 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
             interpret=(impl == "bmmp_interpret"),
         )
     if impl in ("fusedl", "fusedl_interpret"):
-        # latency path (B <= 8): digit-side Toeplitz expansion removes the
-        # B-independent key-expansion VPU cost that bounds B=1 latency
-        # (ops/pallas/latency_kernel.py)
+        # latency path (B <= 8): digit-side circulant expansion (packed
+        # rolls + bitcast) removes the B-independent key-expansion VPU cost
+        # that bounds B=1 latency (ops/pallas/latency_kernel.py)
         from tfhe_tpu.ops.pallas.latency_kernel import (
             bk_latency_operand, blind_rotate_latency,
         )
 
+        bk_lat = server_key.bk_lat  # cached by keys.with_latency_key
+        if bk_lat is None:
+            bk_lat = bk_latency_operand(server_key.bk_u32)
         acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
         return blind_rotate_latency(
-            params, acc0, bk_latency_operand(server_key.bk_u32), a_hat,
+            params, acc0, bk_lat, a_hat[:, None, :],
             interpret=(impl == "fusedl_interpret"),
+        )
+    if impl in ("bmmpl", "bmmpl_interpret"):
+        # BMMP halved-depth latency path (B <= 4): n/2 steps, three
+        # (X^e - 1)acc diffs per step against the keygen(bmmp=True) triples
+        from tfhe_tpu.ops.pallas.latency_kernel import (
+            bk_latency_operand_bmmp, blind_rotate_latency,
+        )
+
+        assert server_key.bk_bmmp_lm is not None, "keygen(..., bmmp=True) required"
+        bk_lat = server_key.bk_bmmp_lat  # cached by keys.with_latency_key
+        if bk_lat is None:
+            bk_lat = bk_latency_operand_bmmp(server_key.bk_bmmp_lm, params)
+        acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
+        two_n = 2 * params.degree
+        a0, a1 = a_hat[0::2], a_hat[1::2]
+        a_v = jnp.stack([jnp.mod(a0 + a1, two_n), a0, a1], axis=1)
+        return blind_rotate_latency(
+            params, acc0, bk_lat, a_v,
+            interpret=(impl == "bmmpl_interpret"),
         )
     if impl in ("nttf", "nttf_interpret"):
         # fused whole-scan block-NTT kernel (ops/pallas/ntt_kernel.py):

@@ -61,6 +61,12 @@ class ServerKey:
     #: (ops/ntt.py): int8[n, P, 2, N1, R*N2, C*L*N2].  Derived from
     #: ``bk_u32`` by ``with_ntt_key``; not serialized (rebuilt on demand).
     bk_ntt: jax.Array | None = None
+    #: optional latency-kernel key operands (ops/pallas/latency_kernel.py),
+    #: derived by ``with_latency_key``; not serialized (rebuilt on demand).
+    #: Caching here keeps the ~80 MB relayout off the per-gate latency path
+    #: (ADVICE r4).
+    bk_lat: jax.Array | None = None
+    bk_bmmp_lat: jax.Array | None = None
 
 
 def make_server_key(
@@ -121,6 +127,24 @@ def with_ntt_key(sk: ServerKey) -> ServerKey:
         lambda bk_i: make_ep_ntt_key(bk_i, plan), sk.bk_u32, batch_size=64
     )
     return dataclasses.replace(sk, bk_ntt=bk_ntt)
+
+
+def with_latency_key(sk: ServerKey) -> ServerKey:
+    """Attach the latency-kernel key operands for ``impl='fusedl'`` (and
+    ``impl='bmmpl'`` when the BMMP triples exist): the canonical BK bytes
+    relaid to the kernel's (col, limb) x (group, t, lane) order, built once
+    at key load instead of on every ``blind_rotate`` call (ADVICE r4)."""
+    from tfhe_tpu.ops.pallas.latency_kernel import (
+        bk_latency_operand, bk_latency_operand_bmmp,
+    )
+
+    bk_bmmp_lat = (
+        None if sk.bk_bmmp_lm is None
+        else bk_latency_operand_bmmp(sk.bk_bmmp_lm, sk.params)
+    )
+    return dataclasses.replace(
+        sk, bk_lat=bk_latency_operand(sk.bk_u32), bk_bmmp_lat=bk_bmmp_lat
+    )
 
 
 def keygen(params: TfheParams, key, bmmp: bool = False) -> tuple[ClientKey, ServerKey]:

@@ -132,4 +132,5 @@ def make_pipelined_gate(mesh: Mesh, params: TfheParams, gate: str,
             bk = sk.bk_u32
         return run(ct0, ct1, bk, sk.ksk_mat)
 
+    call.run_jit = run  # exposed for the HLO collective-traffic audit
     return call

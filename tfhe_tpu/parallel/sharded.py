@@ -139,7 +139,11 @@ def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
         # each shard builds only its column slice of the sign-Toeplitz operand
         # and the partial deltas are reassembled with an exact all_gather over
         # the coefficient axis — the TFHE counterpart of sequence-parallel
-        # activation gathers.
+        # activation gathers.  The wrapping limb recombine is PER-COEFFICIENT,
+        # so each shard combines its own columns to u32 BEFORE the gather
+        # (bit-identical, 4x less wire traffic than gathering the raw int32
+        # limb planes — the r5 HLO traffic check pinned this down; see
+        # docs/ARCHITECTURE.md section 9.1).
         n_deg = params.degree
         chunk = n_deg // model_n if model_axis else n_deg
 
@@ -151,12 +155,13 @@ def _blind_rotate_local(params: TfheParams, approx_ct, bk_c, bk_m, tv_encoded,
                 raw_local = ep_contract_matmul_cols(
                     digits, bkm_i, shard * chunk, chunk
                 )
-                raw = lax.all_gather(
-                    raw_local, model_axis, axis=-1, tiled=True
+                delta = lax.all_gather(
+                    ep_combine(raw_local, k + 1), model_axis,
+                    axis=-1, tiled=True,
                 )
             else:
-                raw = ep_contract_matmul(digits, bkm_i)
-            return acc + ep_combine(raw, k + 1), None
+                delta = ep_combine(ep_contract_matmul(digits, bkm_i), k + 1)
+            return acc + delta, None
 
         xs = (jnp.zeros((n_dim, 0), jnp.int8), bk_m, a_hat)
         acc, _ = lax.scan(step_c, acc0, xs)
@@ -307,4 +312,5 @@ def make_sharded_gate(
             bk_rows = sk.bk_u32
         return run(ct0, ct1, sk.bk_conv, bk_rows, sk.ksk_mat)
 
+    call.run_jit = run  # exposed for the HLO collective-traffic audit
     return call
