@@ -97,3 +97,33 @@ class TestCliGate3:
         out = run(capsys, "decrypt", "--client", f"{d}/client.npz",
                   "--in", f"{tmp_path}/o.npz")
         assert out == "3210"
+
+
+class TestCliAdd:
+    def test_add_roundtrip(self, keydir2, tmp_path, capsys):
+        """4-bit encrypted add via the CLI: 0101 (5) + 0011 (3) = 1000 (8)."""
+        d = str(keydir2)
+        run(capsys, "encrypt", "--client", f"{d}/client.npz", "--bits", "0101",
+            "--out", f"{tmp_path}/a.npz")
+        run(capsys, "encrypt", "--client", f"{d}/client.npz", "--bits", "0011",
+            "--out", f"{tmp_path}/b.npz", "--seed", "2")
+        run(capsys, "add", "--server", f"{d}/server.npz",
+            "--lhs", f"{tmp_path}/a.npz", "--rhs", f"{tmp_path}/b.npz",
+            "--out", f"{tmp_path}/s.npz", "--impl", "conv")
+        out = run(capsys, "decrypt", "--client", f"{d}/client.npz",
+                  "--in", f"{tmp_path}/s.npz")
+        assert out == "1000"
+
+    def test_add_carry_out(self, keydir2, tmp_path, capsys):
+        """--carry-out emits W+1 bits: 11 (3) + 11 (3) -> 110 (6)."""
+        d = str(keydir2)
+        run(capsys, "encrypt", "--client", f"{d}/client.npz", "--bits", "11",
+            "--out", f"{tmp_path}/a.npz")
+        run(capsys, "encrypt", "--client", f"{d}/client.npz", "--bits", "11",
+            "--out", f"{tmp_path}/b.npz", "--seed", "3")
+        run(capsys, "add", "--server", f"{d}/server.npz",
+            "--lhs", f"{tmp_path}/a.npz", "--rhs", f"{tmp_path}/b.npz",
+            "--out", f"{tmp_path}/s.npz", "--carry-out", "--impl", "conv")
+        out = run(capsys, "decrypt", "--client", f"{d}/client.npz",
+                  "--in", f"{tmp_path}/s.npz")
+        assert out == "110"

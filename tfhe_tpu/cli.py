@@ -130,6 +130,35 @@ def cmd_lut(args):
     print(f"lut on {cts.shape[0]} ciphertexts in {time.time()-t0:.1f}s -> {args.out}")
 
 
+def cmd_add(args):
+    """Encrypted W-bit ripple-carry addition (models/circuits.py): inputs are
+    ciphertext files whose W ciphertexts are one integer's bits MSB-first (as
+    produced by ``encrypt --bits``); output is the W sum bits MSB-first
+    (modular: carry-out dropped unless --carry-out)."""
+    import jax.numpy as jnp
+
+    from tfhe_tpu.models import circuits as mcirc
+    from tfhe_tpu.utils import serialization as ser
+
+    sk = _load_server(args)
+    lhs = _load_cts(args.lhs, sk.params)
+    rhs = _load_cts(args.rhs, sk.params)
+    assert lhs.shape == rhs.shape, "operand widths differ"
+    w = lhs.shape[0]
+    t0 = time.time()
+    s, cout = mcirc.ripple_carry_add(
+        sk, jnp.flip(lhs, 0)[:, None], jnp.flip(rhs, 0)[:, None],
+        impl=args.impl)
+    out = jnp.flip(s[:, 0], 0)
+    if args.carry_out:
+        out = jnp.concatenate([cout, out], axis=0)  # W+1 bits MSB-first
+    np.asarray(out)
+    ser.save_ciphertexts(args.out, out, sk.params)
+    boots = 5 * w + 1 if sk.params.log_p == 2 else 2 * w
+    print(f"{w}-bit add ({boots} bootstraps) in {time.time()-t0:.1f}s -> "
+          f"{args.out}")
+
+
 def cmd_noise(args):
     import tfhe_tpu as tfhe
     from tfhe_tpu.utils import noise as unoise
@@ -233,6 +262,15 @@ def main(argv=None):
                     help="comma-separated 2^log_p outputs, e.g. 0,1,1,0... ")
     lu.add_argument("--out", required=True)
     lu.add_argument("--impl", default="auto", choices=impls)
+
+    ad = sub.add_parser("add");     ad.set_defaults(fn=cmd_add)
+    ad.add_argument("--server", required=True)
+    ad.add_argument("--lhs", required=True, help="W bit ciphertexts, MSB-first")
+    ad.add_argument("--rhs", required=True)
+    ad.add_argument("--out", required=True)
+    ad.add_argument("--carry-out", action="store_true",
+                    help="emit W+1 bits (keep the carry)")
+    ad.add_argument("--impl", default="auto", choices=impls)
 
     no = sub.add_parser("noise");   no.set_defaults(fn=cmd_noise)
     no.add_argument("--client", required=True)

@@ -119,10 +119,11 @@ def with_ntt_key(sk: ServerKey) -> ServerKey:
     per_step = (4 * plan.n1 * (rows * plan.n2)
                 * ((p.glwe_dimension + 1) * plan.key_limbs * plan.n2))
     total = per_step * p.lwe_dimension
-    if total > 8 << 30:
+    if total > 12 << 30:
         raise ValueError(
-            f"resident NTT key would be {total/2**30:.1f} GiB (> 8 GiB HBM "
-            "budget); use the streaming backend impl='ntts' instead")
+            f"resident NTT key would be {total/2**30:.1f} GiB (> 12 GiB HBM "
+            "budget on a 16 GB chip); use the streaming backend impl='ntts' "
+            "or a larger-N1 plan (ops.ntt.set_plan_n1) instead")
     bk_ntt = jax.lax.map(
         lambda bk_i: make_ep_ntt_key(bk_i, plan), sk.bk_u32, batch_size=64
     )

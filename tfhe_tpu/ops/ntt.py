@@ -89,13 +89,27 @@ class NttPlan:
         assert self.key_bits * self.key_limbs >= 32
 
 
+#: sweep hook (scripts/bench_ntt_sweep.py): force the inner NTT size for
+#: EVERY plan consumer (keys, kernels, sharding) in this process.  None =
+#: the make_plan default.
+_N1_OVERRIDE: int | None = None
+
+
+def set_plan_n1(n1: int | None) -> None:
+    """Force plan N1 process-wide (None restores the default).  The caller
+    must rebuild any NTT-domain keys afterwards — layouts change shape."""
+    global _N1_OVERRIDE
+    _N1_OVERRIDE = n1
+
+
 def plan_for_params(params) -> NttPlan:
     """The PBS external-product plan for a parameter set: R = (k+1)*levels
     digit rows with |digit| <= B = 2^log_base (the +B carry anomaly included,
     src/decomposer.rs:42-80)."""
     dp = params.pbs_decomposer
     rows = (params.glwe_dimension + 1) * dp.levels
-    return make_plan(params.degree, rows=rows, max_digit=1 << dp.log_base)
+    return make_plan(params.degree, rows=rows, max_digit=1 << dp.log_base,
+                     n1=_N1_OVERRIDE)
 
 
 def make_plan(n: int, rows: int, max_digit: int = 16, n1: int | None = None) -> NttPlan:

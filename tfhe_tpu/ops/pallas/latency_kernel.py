@@ -30,9 +30,11 @@ the byte-peel stage entirely with a 32->8-bit ``pltpu.bitcast``:
   * one [ (k+1)*4, 4*G*N ] x [ 4*G*N, B*N ] int8 MXU dot per step yields
     all (k+1) output polynomials' limb planes at once; wrapping-u32
     recombine and acc update are plain row ops;
-  * the grid packs ``steps_per_cell`` CMUX steps per grid cell (halving
-    Mosaic's per-cell overhead at B=1), with a=0 / zero-key padding when
-    the step count is odd.
+  * the grid can pack ``steps_per_cell`` CMUX steps per grid cell (a=0 /
+    zero-key padding when the step count does not divide).  MEASURED (v5e,
+    default_128, B=1, scripts/probe_r5_latency.py): spc=1/2/4/8 ->
+    4.74/4.88/5.43/5.54 ms — per-cell overhead is already negligible and
+    bigger cells only bloat the per-cell key DMA, so 1 is the default.
 
 ``variants=3`` is the BMMP halved-depth mode (``impl="bmmpl"``, notes/BMMP
 Bootstrapping.md:15-25): n/2 steps, three (X^e - 1)acc diffs per step
@@ -198,7 +200,7 @@ def _kernel_latency(a_ref, acc_in_ref, bk_ref, acc_ref, d_ref, *,
     jax.jit, static_argnames=("params", "interpret", "steps_per_cell")
 )
 def blind_rotate_latency(params: TfheParams, acc0, bk_lat, a_vhat,
-                         interpret=False, steps_per_cell: int = 2):
+                         interpret=False, steps_per_cell: int = 1):
     """acc0 u32[B, k+1, N]; bk_lat from ``bk_latency_operand`` (V=1, B <= 8)
     or ``bk_latency_operand_bmmp`` (V=3, B <= 4); a_vhat int32[steps, V, B]
     (V=1: the mod-switched mask; V=3: rows (a+a', a, a') mod 2N per pair)
