@@ -238,7 +238,12 @@ def main():
             try:
                 fb = jax.jit(gate)
                 c0b, c1b = ct0[:b], ct1[:b]
-                t, _ = time_best(fb, max(iters, 8), c0b, c1b, sk)
+                # amortized timing carries ~RTT/iters of residual tunnel
+                # overhead per call (~30 ms RTT): at iters=8 that is ~3.8 ms
+                # — bigger than a B=1 gate!  64 dispatches per sync push the
+                # residual under 0.5 ms (r5; earlier rounds' small-batch
+                # rows were inflated by this)
+                t, _ = time_best(fb, max(iters, 64), c0b, c1b, sk)
                 lat[str(b)] = round(t * 1e3, 2)
                 # per-call-synced wall clock (ADVICE r4): what a real
                 # single-gate caller pays INCLUDING the host sync — through

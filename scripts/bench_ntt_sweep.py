@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--quick", action="store_true",
                     help="default_128 only")
+    ap.add_argument("--only", default="",
+                    help="comma-separated param names to restrict to")
     ap.add_argument("--out", default="ARTIFACTS/ntt_crossover_r5.json")
     args = ap.parse_args()
 
@@ -110,6 +112,9 @@ def main():
             ("large_4096", [128, 256, 512], "pallas", 128),
         ]
 
+    if args.only:
+        keep = set(args.only.split(","))
+        cases = [c for c in cases if c[0] in keep]
     for pname, n1s, base_impl, batch in cases:
         params = tfhe.get_params(pname)
         rows = []
@@ -144,9 +149,15 @@ def main():
                 key_gb = sk_n.bk_ntt.nbytes / 2**30
                 log(f"  {tag}: key {key_gb:.2f} GiB "
                     f"({time.perf_counter()-t0:.0f}s)")
-            except ValueError as e:  # HBM guard
-                rows.append(dict(impl=tag, infeasible=str(e)[:200]))
-                log(f"  {tag}: infeasible ({e})")
+            except Exception as e:  # HBM guard (ValueError) or device OOM
+                rows.append(dict(impl=tag, infeasible=(
+                    f"{type(e).__name__}: {str(e)[:200]}")))
+                log(f"  {tag}: infeasible ({type(e).__name__}: "
+                    f"{str(e)[:120]})")
+                import gc
+
+                sk_n = None
+                gc.collect()
                 continue
             try:
                 r = bench_impl(params, ck, sk_n, "nttf", batch, args.iters)

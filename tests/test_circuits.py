@@ -12,7 +12,10 @@ from tfhe_tpu.models import circuits as mcirc
 from tfhe_tpu.params import get_params
 
 TEST = get_params("test_insecure")
-TEST3 = get_params("test_insecure_3in")
+#: the 3-input-gate variants run at nano shapes — the maj/xor3 composition is
+#: degree-independent and the log_p=3 encoding is already pinned at
+#: test_insecure by tests/test_models.py::TestThreeInputGates
+TEST3 = get_params("nano_3in")
 
 
 @pytest.fixture(scope="module")

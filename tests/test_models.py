@@ -247,91 +247,6 @@ class TestBitExactBootstrap:
         )
         assert np.array_equal(ours, want)
 
-    def test_full_pbs_bit_exact_fusedl_interpret(self, shared):
-        """Latency kernel (ops/pallas/latency_kernel.py, impl='fusedl'):
-        digit-side Toeplitz expansion, bit-identical to golden.  B=1 keeps
-        the interpret emulation of the per-(sample, row) strided rolls
-        tractable (~10 min; B=2 doubled it); hardware bit-exactness at B=8
-        is asserted by the bench artifact (ARTIFACTS/latency_r4.json,
-        0/8 gate errors, reference digit convention)."""
-        d, bk_g, ksk_g, server, _ = shared
-        rng = np.random.default_rng(41)
-        p = TEST
-        tv_clear = g.construct_identity_test_vector(p)
-        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
-        a = rnd_u32(rng, (1, p.lwe_dimension))
-        e = gaussian_u32(rng, p.lwe_std_dev, (1,))
-        cts = np.stack([
-            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(1, p), a[0], e[0])
-        ])
-        want = np.stack([g.bootstrap(cts[0], bk_g, ksk_g, tv_clear, p)])
-        ours = np.asarray(
-            mboot.pbs(p, cts, server, tv_enc, impl="fusedl_interpret")
-        )
-        assert np.array_equal(ours, want)
-
-    def test_full_pbs_bit_exact_fusedp_interpret(self, shared):
-        """Software-pipelined whole-scan kernel (interpret mode): parity
-        double-buffered digit staging preserves exact CMUX semantics."""
-        d, bk_g, ksk_g, server, _ = shared
-        rng = np.random.default_rng(28)
-        p = TEST
-        tv_clear = g.construct_identity_test_vector(p)
-        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
-        a = rnd_u32(rng, (2, p.lwe_dimension))
-        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
-        cts = np.stack([
-            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
-            for m in range(2)
-        ])
-        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
-                         for i in range(2)])
-        ours = np.asarray(
-            mboot.pbs(p, cts, server, tv_enc, impl="fusedp_interpret")
-        )
-        assert np.array_equal(ours, want)
-
-    def test_full_pbs_bit_exact_fused_interpret(self, shared):
-        """Whole-scan fused Pallas kernel (interpret mode on CPU) is
-        bit-identical to the golden pipeline."""
-        d, bk_g, ksk_g, server, _ = shared
-        rng = np.random.default_rng(20)
-        p = TEST
-        tv_clear = g.construct_identity_test_vector(p)
-        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
-        a = rnd_u32(rng, (2, p.lwe_dimension))
-        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
-        cts = np.stack([
-            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
-            for m in range(2)
-        ])
-        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
-                         for i in range(2)])
-        ours = np.asarray(mboot.pbs(p, cts, server, tv_enc, impl="fused_interpret"))
-        assert np.array_equal(ours, want)
-
-    def test_full_pbs_bit_exact_fusedc_interpret(self, shared):
-        """Column-split whole-scan kernel (interpret mode) is bit-identical
-        to the golden pipeline (digits-scratch sharing + per-column
-        accumulator updates preserve exact CMUX semantics)."""
-        d, bk_g, ksk_g, server, _ = shared
-        rng = np.random.default_rng(22)
-        p = TEST
-        tv_clear = g.construct_identity_test_vector(p)
-        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
-        a = rnd_u32(rng, (2, p.lwe_dimension))
-        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
-        cts = np.stack([
-            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
-            for m in range(2)
-        ])
-        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
-                         for i in range(2)])
-        ours = np.asarray(
-            mboot.pbs(p, cts, server, tv_enc, impl="fusedc_interpret")
-        )
-        assert np.array_equal(ours, want)
-
     def test_fused_wide_equals_narrow_nano(self):
         """The wide-dot fused kernel (lane-concatenated digit planes, single
         [R_d*N, CL*N] Toeplitz scratch, aliased acc) is bit-identical to the
@@ -369,36 +284,6 @@ class TestBitExactBootstrap:
         monkeypatch.setattr(mboot, "_FUSED_MAX_BATCH", 4)
         chunked = mboot.blind_rotate(p, approx, sk, tv, impl="fused_interpret")
         assert np.array_equal(np.asarray(whole), np.asarray(chunked))
-
-    def test_full_pbs_bit_exact_fusedw_interpret(self, shared):
-        """Wide-dot pipelined whole-scan kernel (impl='fusedw', chain digits):
-        bit-identical to golden; 'fusedwb' (balanced) bit-identical to the
-        fusedb kernel's output (same convention)."""
-        d, bk_g, ksk_g, server, _ = shared
-        rng = np.random.default_rng(43)
-        p = TEST
-        tv_clear = g.construct_identity_test_vector(p)
-        tv_enc = jnp.asarray(mtv.identity_test_vector(p))
-        a = rnd_u32(rng, (2, p.lwe_dimension))
-        e = gaussian_u32(rng, p.lwe_std_dev, (2,))
-        cts = np.stack([
-            g.encrypt_lwe(d["lwe_sk"], g.lwe_encode(m, p), a[m], e[m])
-            for m in range(2)
-        ])
-        want = np.stack([g.bootstrap(cts[i], bk_g, ksk_g, tv_clear, p)
-                         for i in range(2)])
-        ours = np.asarray(
-            mboot.pbs(p, cts, server, tv_enc, impl="fusedw_interpret")
-        )
-        assert np.array_equal(ours, want)
-        from tfhe_tpu.ops.torus import switch_modulus
-
-        approx = switch_modulus(jnp.asarray(cts), p.log_q, p.log_degree + 1)
-        want_b = np.asarray(mboot.blind_rotate(
-            p, approx, server, tv_enc, impl="fusedb_interpret"))
-        ours_b = np.asarray(mboot.blind_rotate(
-            p, approx, server, tv_enc, impl="fusedwb_interpret"))
-        assert np.array_equal(ours_b, want_b)
 
     def test_full_pbs_bit_exact_fusedb_interpret(self, shared):
         """Balanced-digit whole-scan kernel (impl='fusedb', interpret mode):
@@ -467,6 +352,63 @@ class TestBitExactBootstrap:
             mboot.pbs(p, ct[None], server, tv_enc, impl="pallas_interpret")
         )[0]
         assert np.array_equal(ours, want)
+
+
+NANO = get_params("nano")
+
+
+class TestKernelBitExactNano:
+    """Whole-scan kernel families, bit-exact at nano shapes (N=64, n=4).
+
+    The full-size (test_insecure, N=512) interpret runs of these kernels cost
+    43-500 s EACH on CPU, which kept the driver from ever seeing the whole
+    suite (VERDICT r4 item 2).  The kernels' digit pipelines and contraction
+    orders are degree-independent, so nano pins the same semantics in
+    seconds against the conv scan (itself golden-pinned bit-exact at
+    test_insecure above).  Full-size interpret representatives that remain
+    at test_insecure: fusedb (the shared ``_kernel`` body + full-PBS golden
+    decode), pallas (per-step kernel), nttf (NTT tier); additionally every
+    family is hardware-bit-exact in the 0-gate-error bench artifacts
+    (ARTIFACTS/*_r4.json, latency_r5.json)."""
+
+    @pytest.fixture(scope="class")
+    def env(self):
+        from tfhe_tpu.models.keys import with_latency_key
+
+        p = NANO
+        ck, sk = tfhe.keygen(p, jax.random.key(5), bmmp=True)
+        sk = with_latency_key(sk)
+        rng = np.random.default_rng(77)
+        approx = jnp.asarray(rng.integers(
+            0, 2 * p.degree, size=(8, p.lwe_dimension + 1), dtype=np.uint32))
+        tv = jnp.asarray(rng.integers(0, 1 << 32, size=(p.degree,),
+                                      dtype=np.uint32))
+        refs = {
+            "conv": np.asarray(
+                mboot.blind_rotate(p, approx, sk, tv, impl="conv")),
+            "fusedb_interpret": np.asarray(mboot.blind_rotate(
+                p, approx, sk, tv, impl="fusedb_interpret")),
+            "bmmp_interpret": np.asarray(mboot.blind_rotate(
+                p, approx[:4], sk, tv, impl="bmmp_interpret")),
+        }
+        return p, sk, approx, tv, refs
+
+    @pytest.mark.parametrize("impl,ref,batch", [
+        ("fused_interpret", "conv", 8),    # carry-chain digits in-kernel
+        ("fusedp_interpret", "conv", 8),   # parity double-buffered digits
+        ("fusedc_interpret", "conv", 8),   # column-split + digit scratch
+        ("fusedw_interpret", "conv", 8),   # wide-dot pipelined
+        ("fusedl_interpret", "conv", 8),   # bitcast digit-circulant latency
+        ("fusedl_interpret", "conv", 3),   # latency kernel, odd batch
+        ("fusedwb_interpret", "fusedb_interpret", 8),  # balanced wide
+        ("bmmpl_interpret", "bmmp_interpret", 4),  # BMMP latency kernel
+        ("bmmpl_interpret", "bmmp_interpret", 3),  # odd batch
+    ])
+    def test_blind_rotate_matches(self, env, impl, ref, batch):
+        p, sk, approx, tv, refs = env
+        got = np.asarray(
+            mboot.blind_rotate(p, approx[:batch], sk, tv, impl=impl))
+        assert np.array_equal(got, refs[ref][:batch]), impl
 
 
 class TestSampleExtractGeneral:

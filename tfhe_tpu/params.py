@@ -238,6 +238,7 @@ PARAMS: dict[str, TfheParams] = {
     # log_p=3 profiles for 3-input gates (4c2+2c1+c0 encoding,
     # notes/Boolean Gates.md:7-11); message space Z_8, same lattice dims
     "test_insecure_3in": _mk("test_insecure_3in", k=2, log_degree=9, n=4, log_p=3),
+    "nano_3in": _mk("nano_3in", k=1, log_degree=6, n=4, log_p=3),
     "default_128_3in": _mk("default_128_3in", k=2, log_degree=9, n=722, log_p=3),
     # large-degree profiles (k=1, N=2048/4096): the block-NTT tier's target
     # regime (NOTES_NTT.md) — Toeplitz cost grows as N^2 while block-NTT's
