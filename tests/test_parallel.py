@@ -327,6 +327,20 @@ class TestCollectiveTraffic:
         # NTT-bin: orders of magnitude above the rest (the 9.1 "cannot ride
         # ICI" row)
         assert wire_bytes_per_sample_step(d128, "ntt", 2) > 100_000
+        # and the headline efficiency predictions of the 9.1 table
+        from tfhe_tpu.parallel.traffic import predict_efficiency
+
+        kw = dict(us_per_sample_step=0.354)
+        assert round(predict_efficiency(
+            d128, "tp", 2, link_gbps=45, **kw), 2) == 0.56  # v5e D=2
+        assert round(predict_efficiency(
+            d128, "tp", 2, link_gbps=90, **kw), 2) == 0.72  # v5p D=2
+        assert round(predict_efficiency(
+            d128, "coeffs", 2, link_gbps=45, **kw), 2) == 0.72
+        assert predict_efficiency(
+            d128, "pp", 4, link_gbps=45, m_microbatches=32, **kw) > 0.85
+        assert predict_efficiency(d128, "dp", 8, link_gbps=25, **kw) == 1.0
+        assert predict_efficiency(d128, "ntt", 2, link_gbps=45, **kw) < 0.1
 
 
 def test_ntt_bin_sharded_bit_exact(keys, cts, reference_out):

@@ -138,14 +138,20 @@ def predict_efficiency(
     params: TfheParams, mode: str, d: int, *, link_gbps: float,
     us_per_sample_step: float, m_microbatches: int = 32,
 ) -> float:
-    """Unoverlapped scaling-efficiency prediction for ``d`` chips on one
-    link of ``link_gbps`` GB/s/dir (v5e ICI ~45, v5p ~90, DCN ~25):
-    eff = t_comp / (t_comp + t_wire), times the pipeline bubble for pp."""
+    """Unoverlapped scaling-efficiency prediction (vs 1 chip) for ``d``
+    chips on one link of ``link_gbps`` GB/s/dir (v5e ICI ~45, v5p ~90,
+    DCN ~25).
+
+    Model-sharded modes (tp/coeffs/ntt) split each sample-step's compute
+    D ways, so the per-sample-step wall is t/D + w(D) and efficiency
+    T_1/(D*T_D) = t/(t + D*w).  Pipeline keeps each chip fully busy on its
+    own microbatch while accumulators hop, so the hop time is a serial tax
+    per sample (eff = t/(t + w)) times the M/(M+D-1) fill bubble."""
     if mode == "dp":
         return 1.0  # no steady-state collective; load balance only
     t_comp = us_per_sample_step  # us
     t_wire = wire_bytes_per_sample_step(params, mode, d) / (link_gbps * 1e3)
-    eff = t_comp / (t_comp + t_wire)
     if mode == "pp":
-        eff *= m_microbatches / (m_microbatches + d - 1)
-    return eff
+        return (t_comp / (t_comp + t_wire)
+                * m_microbatches / (m_microbatches + d - 1))
+    return t_comp / (t_comp + d * t_wire)
