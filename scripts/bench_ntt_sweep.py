@@ -93,6 +93,13 @@ def main():
                     help="default_128 only")
     ap.add_argument("--only", default="",
                     help="comma-separated param names to restrict to")
+    ap.add_argument("--single", default="",
+                    help="run ONE case ('params:base' or 'params:<n1>') and "
+                         "print its JSON row — used by --subproc, which runs "
+                         "every case in a fresh process so one OOM cannot "
+                         "poison the device arena for later cases")
+    ap.add_argument("--subproc", action="store_true",
+                    help="drive each case via a fresh subprocess")
     ap.add_argument("--out", default="ARTIFACTS/ntt_crossover_r5.json")
     args = ap.parse_args()
 
@@ -112,9 +119,90 @@ def main():
             ("large_4096", [128, 256, 512], "pallas", 128),
         ]
 
+    def run_case(pname, what, base_impl, batch):
+        """One (params, backend-or-N1) measurement -> row dict."""
+        params = tfhe.get_params(pname)
+        ontt.set_plan_n1(None)
+        ck, sk = jax.jit(partial(keygen, params))(jax.random.key(0))
+        jax.block_until_ready(sk.bk_u32)
+        if what == "base":
+            try:
+                r = bench_impl(params, ck, sk, base_impl, batch, args.iters)
+                log(f"  {base_impl}: {r['bootstraps_per_s']} boots/s "
+                    f"({r['gate_errors']} errors)")
+                return r
+            except Exception as e:
+                log(f"  {base_impl} FAILED: {e}")
+                return dict(impl=base_impl,
+                            failed=f"{type(e).__name__}: {str(e)[:200]}")
+        n1 = int(what)
+        ontt.set_plan_n1(n1)
+        plan = ontt.plan_for_params(params)
+        tag = f"nttf[N1={n1},N2={plan.n2},limbs={plan.key_limbs}]"
+        if plan.n2 % 8:
+            log(f"  {tag}: infeasible (n2 % 8)")
+            return dict(impl=tag, infeasible=(
+                f"n2={plan.n2} violates the i32 tile alignment the fused "
+                "kernel's [*, n2, bt] scratch views need (n2 % 8 == 0)"))
+        try:
+            t0 = time.perf_counter()
+            sk_n = jax.jit(with_ntt_key)(sk)
+            jax.block_until_ready(sk_n.bk_ntt)
+            key_gb = sk_n.bk_ntt.nbytes / 2**30
+            log(f"  {tag}: key {key_gb:.2f} GiB "
+                f"({time.perf_counter()-t0:.0f}s)")
+        except Exception as e:  # HBM guard (ValueError) or device OOM
+            log(f"  {tag}: infeasible ({type(e).__name__}: {str(e)[:120]})")
+            return dict(impl=tag,
+                        infeasible=f"{type(e).__name__}: {str(e)[:200]}")
+        try:
+            r = bench_impl(params, ck, sk_n, "nttf", batch, args.iters)
+            r["impl"] = tag
+            r["ntt_key_gib"] = round(key_gb, 2)
+            log(f"  {tag}: {r['bootstraps_per_s']} boots/s "
+                f"({r['gate_errors']} errors)")
+            return r
+        except Exception as e:
+            log(f"  {tag} FAILED: {type(e).__name__}: {str(e)[:300]}")
+            return dict(impl=tag, failed=f"{type(e).__name__}: {str(e)[:300]}")
+
     if args.only:
         keep = set(args.only.split(","))
         cases = [c for c in cases if c[0] in keep]
+
+    if args.single:
+        pname, what = args.single.split(":")
+        base_impl, batch = next(
+            (b, bt) for pn, _, b, bt in cases if pn == pname)
+        print(json.dumps(run_case(pname, what, base_impl, batch)))
+        return
+
+    if args.subproc:
+        import subprocess
+
+        for pname, n1s, base_impl, batch in cases:
+            log(f"=== {pname} (batch {batch}) ===")
+            rows = []
+            for what in ["base"] + [str(x) for x in n1s]:
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--single", f"{pname}:{what}",
+                       "--iters", str(args.iters)]
+                pr = subprocess.run(cmd, capture_output=True, text=True,
+                                    timeout=7200)
+                sys.stderr.write(pr.stderr[-2000:])
+                try:
+                    rows.append(json.loads(pr.stdout.strip().splitlines()[-1]))
+                except Exception:
+                    rows.append(dict(case=f"{pname}:{what}",
+                                     failed=f"subprocess rc={pr.returncode}"))
+            res[pname] = rows
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as fh:
+            json.dump(res, fh, indent=1)
+        log(f"wrote {args.out}")
+        print(json.dumps(res))
+        return
+
     for pname, n1s, base_impl, batch in cases:
         params = tfhe.get_params(pname)
         rows = []
