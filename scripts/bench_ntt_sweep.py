@@ -104,7 +104,7 @@ def main():
     args = ap.parse_args()
 
     import tfhe_tpu as tfhe
-    from tfhe_tpu.models.keys import keygen, with_ntt_key
+    from tfhe_tpu.models.keys import keygen, with_ntt_key, with_ntt_lhs_key
     from tfhe_tpu.ops import ntt as ontt
 
     res = {"note": (
@@ -146,9 +146,12 @@ def main():
                 "kernel's [*, n2, bt] scratch views need (n2 % 8 == 0)"))
         try:
             t0 = time.perf_counter()
-            sk_n = jax.jit(with_ntt_key)(sk)
-            jax.block_until_ready(sk_n.bk_ntt)
-            key_gb = sk_n.bk_ntt.nbytes / 2**30
+            # lhs-only form: ONE resident key copy (the nttf kernel's
+            # operand), built directly from the canonical key — the only
+            # HBM-feasible route at N >= 2048
+            sk_n = jax.jit(partial(with_ntt_lhs_key, drop_rhs=True))(sk)
+            jax.block_until_ready(sk_n.bk_ntt_lhs)
+            key_gb = sk_n.bk_ntt_lhs.nbytes / 2**30
             log(f"  {tag}: key {key_gb:.2f} GiB "
                 f"({time.perf_counter()-t0:.0f}s)")
         except Exception as e:  # HBM guard (ValueError) or device OOM

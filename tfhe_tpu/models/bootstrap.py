@@ -414,10 +414,16 @@ def blind_rotate(params: TfheParams, approx_ct, server_key, tv_encoded,
         from tfhe_tpu.ops.ntt import ntt_key_lhs_form
         from tfhe_tpu.ops.pallas.ntt_kernel import blind_rotate_nttf
 
-        assert server_key.bk_ntt is not None, "keys.with_ntt_key(server_key) required"
+        bk_lhs = server_key.bk_ntt_lhs  # cached by keys.with_ntt_lhs_key
+        if bk_lhs is None:
+            # compat fallback: derive in-call (a full-key HBM transpose per
+            # gate call — fine at N=512, fatal at N >= 2048)
+            assert server_key.bk_ntt is not None, (
+                "keys.with_ntt_lhs_key(server_key) (or with_ntt_key) required")
+            bk_lhs = ntt_key_lhs_form(server_key.bk_ntt)
         acc0, a_hat = _init_acc(params, approx_ct, tv_encoded)
         return blind_rotate_nttf(
-            params, acc0, ntt_key_lhs_form(server_key.bk_ntt), a_hat,
+            params, acc0, bk_lhs, a_hat,
             interpret=(impl == "nttf_interpret"),
         )
     if impl == "ntt":

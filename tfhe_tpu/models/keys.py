@@ -61,6 +61,12 @@ class ServerKey:
     #: (ops/ntt.py): int8[n, P, 2, N1, R*N2, C*L*N2].  Derived from
     #: ``bk_u32`` by ``with_ntt_key``; not serialized (rebuilt on demand).
     bk_ntt: jax.Array | None = None
+    #: optional lhs-form NTT key for the fused NTT kernel (impl='nttf'):
+    #: int8[n, P, bins, 2*CLN2, RN2].  Without it the nttf path re-derives
+    #: the transpose INSIDE every jitted gate call — a full-key HBM copy
+    #: that doubles resident key memory (fatal at N >= 2048 where the key
+    #: is ~8.5 GiB) and costs ~1.5% per call at default_128.
+    bk_ntt_lhs: jax.Array | None = None
     #: optional latency-kernel key operands (ops/pallas/latency_kernel.py),
     #: derived by ``with_latency_key``; not serialized (rebuilt on demand).
     #: Caching here keeps the ~80 MB relayout off the per-gate latency path
@@ -128,6 +134,38 @@ def with_ntt_key(sk: ServerKey) -> ServerKey:
         lambda bk_i: make_ep_ntt_key(bk_i, plan), sk.bk_u32, batch_size=64
     )
     return dataclasses.replace(sk, bk_ntt=bk_ntt)
+
+
+def with_ntt_lhs_key(sk: ServerKey, drop_rhs: bool = False) -> ServerKey:
+    """Attach the fused-NTT-kernel lhs key form, built once at key load.
+
+    When ``bk_ntt`` is absent (or being dropped) the lhs form is built
+    DIRECTLY from the canonical key per step, never materializing the
+    rhs-form tensor — at N >= 2048 one form is ~8.5 GiB and two cannot
+    coexist in HBM.  ``drop_rhs=True`` serves only ``impl='nttf'`` (the
+    scan 'ntt' backend and the bin-sharded parallel mode need the rhs
+    form)."""
+    from tfhe_tpu.ops.ntt import (
+        make_ep_ntt_key, ntt_key_lhs_form, plan_for_params,
+    )
+
+    if sk.bk_ntt is not None and not drop_rhs:
+        lhs = jax.lax.map(ntt_key_lhs_form, sk.bk_ntt, batch_size=64)
+        return dataclasses.replace(sk, bk_ntt_lhs=lhs)
+    plan = plan_for_params(sk.params)
+    p = sk.params
+    rows = (p.glwe_dimension + 1) * p.pbs_decomposer.levels
+    per_step = (4 * plan.n1 * (rows * plan.n2)
+                * ((p.glwe_dimension + 1) * plan.key_limbs * plan.n2))
+    if per_step * p.lwe_dimension > 12 << 30:
+        raise ValueError(
+            f"lhs-form NTT key would be {per_step*p.lwe_dimension/2**30:.1f}"
+            " GiB (> 12 GiB HBM budget); use impl='ntts' or a larger-N1 plan")
+    lhs = jax.lax.map(
+        lambda bk_i: ntt_key_lhs_form(make_ep_ntt_key(bk_i, plan)),
+        sk.bk_u32, batch_size=64,
+    )
+    return dataclasses.replace(sk, bk_ntt_lhs=lhs, bk_ntt=None)
 
 
 def with_latency_key(sk: ServerKey) -> ServerKey:
