@@ -52,23 +52,23 @@ def main():
                                       dtype=np.uint32))
         acc0, a_hat = _init_acc(params, approx, tv)
         ref = None
-        for spc in (1, 2, 4, 8):
+        for spc, split in [(1, False), (2, False), (4, False), (8, False),
+                           (1, True), (2, True)]:
+            tag = f"B{batch}_spc{spc}" + ("_split" if split else "")
             try:
                 f = lambda: blind_rotate_latency(
                     params, acc0, sk.bk_lat, a_hat[:, None, :],
-                    steps_per_cell=spc)
+                    steps_per_cell=spc, split_dots=split)
                 t, out = time_best(f)
                 outn = np.asarray(out)
                 if ref is None:
                     ref = outn
                 exact = bool(np.array_equal(outn, ref))
-                res[f"B{batch}_spc{spc}"] = dict(
-                    ms=round(t * 1e3, 3), exact_vs_spc1=exact)
-                log(f"B={batch} spc={spc}: {t*1e3:.2f} ms  exact={exact}")
+                res[tag] = dict(ms=round(t * 1e3, 3), exact_vs_spc1=exact)
+                log(f"{tag}: {t*1e3:.2f} ms  exact={exact}")
             except Exception as e:
-                res[f"B{batch}_spc{spc}"] = f"failed: {type(e).__name__}"
-                log(f"B={batch} spc={spc}: FAILED {type(e).__name__}: "
-                    f"{str(e)[:200]}")
+                res[tag] = f"failed: {type(e).__name__}"
+                log(f"{tag}: FAILED {type(e).__name__}: {str(e)[:200]}")
     print(json.dumps(res, indent=1))
 
 

@@ -118,7 +118,8 @@ def bk_latency_operand_bmmp(bk_bmmp_lm, params: TfheParams) -> jnp.ndarray:
 
 
 def _kernel_latency(a_ref, acc_in_ref, bk_ref, acc_ref, d_ref, *,
-                    params: TfheParams, batch: int, variants: int, spc: int):
+                    params: TfheParams, batch: int, variants: int, spc: int,
+                    split_dots: bool = False):
     n = params.degree
     k1 = params.glwe_dimension + 1
     dp = params.pbs_decomposer
@@ -162,9 +163,9 @@ def _kernel_latency(a_ref, acc_in_ref, bk_ref, acc_ref, d_ref, *,
         # 2N = t + (u%2)*N, so odd-parity groups ride with their [pos|neg]
         # halves pre-swapped), then ONE bitcast reinterprets the packed
         # bytes as the int8 digit rows — no per-row peels
-        for b in range(batch):
-            for c0 in range(0, n_groups, _ROLL_CHUNK):
-                gs = list(range(c0, min(c0 + _ROLL_CHUNK, n_groups)))
+        def build_chunk(c0, c1):
+            for b in range(batch):
+                gs = list(range(c0, c1))
                 blocks = []
                 for g in gs:
                     pos, neg = packed[g]
@@ -177,14 +178,30 @@ def _kernel_latency(a_ref, acc_in_ref, bk_ref, acc_ref, d_ref, *,
                     blocks.append(jnp.broadcast_to(g_ext, (n, 2 * n)))
                 base = jnp.concatenate(blocks, axis=0)  # [len(gs)*N, 2N]
                 circ = pltpu.roll(base, 0, 1, stride=1, stride_axis=0)[:, :n]
-                d_ref[c0 * 4 * n : (c0 + len(gs)) * 4 * n,
+                d_ref[c0 * 4 * n : c1 * 4 * n,
                       b * n : (b + 1) * n] = pltpu.bitcast(circ, jnp.int8)
 
         klhs = bk_ref[s]  # [(k+1)*4, 4*G*N] int8
-        out = jax.lax.dot_general(
-            klhs, d_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [(k+1)*4, batch*N]
+        if split_dots:
+            # per-group roll + dot: group g's dot depends only on group g's
+            # circulant slice, so the scheduler may overlap group g+1's roll
+            # (VPU) with group g's dot (MXU); int32 partials accumulate
+            out = jnp.zeros((k1 * NUM_LIMBS, batch * n), jnp.int32)
+            for g in range(n_groups):
+                build_chunk(g, g + 1)
+                out = out + jax.lax.dot_general(
+                    klhs[:, g * 4 * n : (g + 1) * 4 * n],
+                    d_ref[g * 4 * n : (g + 1) * 4 * n, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+        else:
+            for c0 in range(0, n_groups, _ROLL_CHUNK):
+                build_chunk(c0, min(c0 + _ROLL_CHUNK, n_groups))
+            out = jax.lax.dot_general(
+                klhs, d_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [(k+1)*4, batch*N]
         for b in range(batch):
             for col in range(k1):
                 delta = jnp.zeros((1, n), jnp.uint32)
@@ -197,10 +214,12 @@ def _kernel_latency(a_ref, acc_in_ref, bk_ref, acc_ref, d_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "interpret", "steps_per_cell")
+    jax.jit,
+    static_argnames=("params", "interpret", "steps_per_cell", "split_dots"),
 )
 def blind_rotate_latency(params: TfheParams, acc0, bk_lat, a_vhat,
-                         interpret=False, steps_per_cell: int = 1):
+                         interpret=False, steps_per_cell: int = 1,
+                         split_dots: bool = False):
     """acc0 u32[B, k+1, N]; bk_lat from ``bk_latency_operand`` (V=1, B <= 8)
     or ``bk_latency_operand_bmmp`` (V=3, B <= 4); a_vhat int32[steps, V, B]
     (V=1: the mod-switched mask; V=3: rows (a+a', a, a') mod 2N per pair)
@@ -226,7 +245,7 @@ def blind_rotate_latency(params: TfheParams, acc0, bk_lat, a_vhat,
     a_t = a_vhat.reshape(cells * spc * variants, batch, 1)
     out = pl.pallas_call(
         functools.partial(_kernel_latency, params=params, batch=batch,
-                          variants=variants, spc=spc),
+                          variants=variants, spc=spc, split_dots=split_dots),
         grid=(cells,),
         in_specs=[
             pl.BlockSpec((spc * variants, batch, 1), lambda c: (c, 0, 0),
