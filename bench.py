@@ -139,7 +139,7 @@ def main():
         sk = jax.jit(with_latency_key)(sk)
         jax.block_until_ready(sk.bk_lat)
         log(f"latency key prep (jitted): {time.perf_counter()-t0:.1f}s")
-    if impl in ("ntt", "nttf"):
+    if impl == "ntt":
         from tfhe_tpu.models.keys import with_ntt_key
 
         t0 = time.perf_counter()
@@ -147,6 +147,18 @@ def main():
         jax.block_until_ready(sk.bk_ntt)
         log(f"ntt key prep (jitted): {time.perf_counter()-t0:.1f}s  "
             f"bk_ntt={sk.bk_ntt.nbytes/1e6:.1f}MB")
+    elif impl in ("nttf", "nttf_interpret"):
+        # lhs-only resident key: the fused kernel's operand, built once at
+        # key load (no per-call transpose, single HBM-scale form)
+        from functools import partial as _p
+
+        from tfhe_tpu.models.keys import with_ntt_lhs_key
+
+        t0 = time.perf_counter()
+        sk = jax.jit(_p(with_ntt_lhs_key, drop_rhs=True))(sk)
+        jax.block_until_ready(sk.bk_ntt_lhs)
+        log(f"ntt lhs key prep (jitted): {time.perf_counter()-t0:.1f}s  "
+            f"bk_ntt_lhs={sk.bk_ntt_lhs.nbytes/1e6:.1f}MB")
 
     tv = jnp.asarray(mtv.gate_test_vector(params, "nand"))
 

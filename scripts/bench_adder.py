@@ -90,7 +90,7 @@ def main():
         best = min(best, (time.perf_counter() - t0) / args.iters)
     s_bits, cout = outs[-1]
 
-    boots_per_add = 5 * w + 1 if params.log_p == 2 else 2 * w
+    boots_per_add = 5 * w if params.log_p == 2 else 2 * w
     adds_per_s = batch / best
     boots_per_s = adds_per_s * boots_per_add
     log(f"{w}-bit add x{batch}: best {best*1e3:.1f}ms -> "

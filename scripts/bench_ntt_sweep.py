@@ -104,7 +104,7 @@ def main():
     args = ap.parse_args()
 
     import tfhe_tpu as tfhe
-    from tfhe_tpu.models.keys import keygen, with_ntt_key, with_ntt_lhs_key
+    from tfhe_tpu.models.keys import keygen, with_ntt_lhs_key
     from tfhe_tpu.ops import ntt as ontt
 
     res = {"note": (
@@ -206,64 +206,14 @@ def main():
         print(json.dumps(res))
         return
 
+    # in-process fallback (no --subproc): same run_case per case, so both
+    # modes measure the identical configuration; prefer --subproc on
+    # hardware (a failed HBM allocation poisons the arena process-wide)
     for pname, n1s, base_impl, batch in cases:
-        params = tfhe.get_params(pname)
-        rows = []
         log(f"=== {pname} (batch {batch}) ===")
+        res[pname] = [run_case(pname, what, base_impl, batch)
+                      for what in ["base"] + [str(x) for x in n1s]]
         ontt.set_plan_n1(None)
-        ck, sk = jax.jit(partial(keygen, params))(jax.random.key(0))
-        jax.block_until_ready(sk.bk_u32)
-        try:
-            r = bench_impl(params, ck, sk, base_impl, batch, args.iters)
-            rows.append(r)
-            log(f"  {base_impl}: {r['bootstraps_per_s']} boots/s "
-                f"({r['gate_errors']} errors)")
-        except Exception as e:
-            rows.append(dict(impl=base_impl, failed=f"{type(e).__name__}: "
-                             f"{str(e)[:200]}"))
-            log(f"  {base_impl} FAILED: {e}")
-        for n1 in n1s:
-            ontt.set_plan_n1(n1)
-            plan = ontt.plan_for_params(params)
-            tag = f"nttf[N1={n1},N2={plan.n2},limbs={plan.key_limbs}]"
-            if plan.n2 % 8:
-                rows.append(dict(impl=tag, infeasible=(
-                    f"n2={plan.n2} violates the i32 tile alignment the "
-                    "fused kernel's [*, n2, bt] scratch views need "
-                    "(n2 % 8 == 0)")))
-                log(f"  {tag}: infeasible (n2 % 8)")
-                continue
-            try:
-                t0 = time.perf_counter()
-                sk_n = jax.jit(with_ntt_key)(sk)
-                jax.block_until_ready(sk_n.bk_ntt)
-                key_gb = sk_n.bk_ntt.nbytes / 2**30
-                log(f"  {tag}: key {key_gb:.2f} GiB "
-                    f"({time.perf_counter()-t0:.0f}s)")
-            except Exception as e:  # HBM guard (ValueError) or device OOM
-                rows.append(dict(impl=tag, infeasible=(
-                    f"{type(e).__name__}: {str(e)[:200]}")))
-                log(f"  {tag}: infeasible ({type(e).__name__}: "
-                    f"{str(e)[:120]})")
-                import gc
-
-                sk_n = None
-                gc.collect()
-                continue
-            try:
-                r = bench_impl(params, ck, sk_n, "nttf", batch, args.iters)
-                r["impl"] = tag
-                r["ntt_key_gib"] = round(key_gb, 2)
-                rows.append(r)
-                log(f"  {tag}: {r['bootstraps_per_s']} boots/s "
-                    f"({r['gate_errors']} errors)")
-            except Exception as e:
-                rows.append(dict(impl=tag, failed=f"{type(e).__name__}: "
-                                 f"{str(e)[:300]}"))
-                log(f"  {tag} FAILED: {type(e).__name__}: {str(e)[:300]}")
-            del sk_n
-        ontt.set_plan_n1(None)
-        res[pname] = rows
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:

@@ -184,7 +184,7 @@ def main():
     )
 
     d128 = tfhe.get_params("default_128")
-    us_per_sample_step = 0.354  # BENCH_r04 fusedb: 4037/s / 722 steps
+    us_per_sample_step = round(1e6 / (4037.0 * 722), 3)  # 0.343: BENCH_r04 fusedb
     links = {"v5e_ici_45GBps": 45.0, "v5p_ici_90GBps": 90.0,
              "dcn_25GBps": 25.0}
     predicted = dict(

@@ -330,7 +330,7 @@ class TestCollectiveTraffic:
         # and the headline efficiency predictions of the 9.1 table
         from tfhe_tpu.parallel.traffic import predict_efficiency
 
-        kw = dict(us_per_sample_step=0.354)
+        kw = dict(us_per_sample_step=round(1e6 / (4037.0 * 722), 3))
         assert round(predict_efficiency(
             d128, "tp", 2, link_gbps=45, **kw), 2) == 0.56  # v5e D=2
         assert round(predict_efficiency(

@@ -154,7 +154,7 @@ def cmd_add(args):
         out = jnp.concatenate([cout, out], axis=0)  # W+1 bits MSB-first
     np.asarray(out)
     ser.save_ciphertexts(args.out, out, sk.params)
-    boots = 5 * w + 1 if sk.params.log_p == 2 else 2 * w
+    boots = 5 * w if sk.params.log_p == 2 else 2 * w
     print(f"{w}-bit add ({boots} bootstraps) in {time.time()-t0:.1f}s -> "
           f"{args.out}")
 

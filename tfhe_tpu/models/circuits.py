@@ -13,7 +13,7 @@ of B pairs therefore costs
 
   * log_p == 2 (``default_128``): 3 wide calls (XOR halves, AND carries,
     final XOR sums) + 2 narrow calls per carry step  -> 2W + 3 PBS calls,
-    5W + 1 bootstraps total (vs 5W calls naively);
+    5W bootstraps total (vs 5W separate calls naively);
   * log_p >= 3 (``default_128_3in``): one ``maj`` call per carry + one wide
     ``xor3`` for all sums -> W + 1 calls, 2W bootstraps total (the 3-input
     encoding 4a + 2b + c, notes/Boolean Gates.md:7-11).

@@ -35,6 +35,15 @@ _COLLECTIVE_RE = re.compile(
     r"=\s+\(?([a-z]+[0-9]+)\[([0-9,]*)\]\S*\s+"
     r"(all-reduce|all-gather|collective-permute|all-to-all)\("
 )
+# every syntactic occurrence of a collective op name, INCLUDING forms the
+# parser above does not model (async -start/-done pairs, tuple-result
+# combined collectives).  extract_collectives cross-checks against this so
+# a future XLA that asyncifies/combines collectives makes the audit FAIL
+# LOUDLY instead of silently returning [] (which would false-pass the
+# "DP has no collectives" assertion).
+_COLLECTIVE_TOKEN_RE = re.compile(
+    r"(all-reduce|all-gather|collective-permute|all-to-all)(-start|-done)?\("
+)
 
 _DTYPE_BYTES = {
     "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
@@ -52,7 +61,12 @@ class Collective:
 
 def extract_collectives(compiled_hlo_text: str) -> list[Collective]:
     """All cross-replica ops (with result payload sizes) in a compiled HLO
-    module, in textual order.  While-loop bodies appear once."""
+    module, in textual order.  While-loop bodies appear once.
+
+    Raises ValueError if the module contains collective ops in a form this
+    parser does not model (async -start/-done pairs or tuple-result combined
+    collectives) — better a loud failure than an audit that undercounts.
+    """
     out = []
     for m in _COLLECTIVE_RE.finditer(compiled_hlo_text):
         dtype, dims, kind = m.group(1), m.group(2), m.group(3)
@@ -61,6 +75,14 @@ def extract_collectives(compiled_hlo_text: str) -> list[Collective]:
         for d in shape:
             n *= d
         out.append(Collective(kind, dtype, shape, n * _DTYPE_BYTES[dtype]))
+    tokens = [m for m in _COLLECTIVE_TOKEN_RE.finditer(compiled_hlo_text)
+              if m.group(2) != "-done"]
+    if len(tokens) != len(out):
+        raise ValueError(
+            f"HLO contains {len(tokens)} collective ops but only {len(out)} "
+            "parsed as synchronous single-result forms — async or "
+            "tuple-result collectives present; extend the traffic parser "
+            "before trusting the audit")
     return out
 
 
