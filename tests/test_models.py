@@ -246,6 +246,17 @@ class TestBitExactBootstrap:
             mboot.pbs(p, cts, server_ntt, tv_enc, impl="nttf_interpret")
         )
         assert np.array_equal(ours, want)
+        # the cached lhs-only key form (keys.with_ntt_lhs_key, drop_rhs=True:
+        # what bench.py and the large-degree sweep serve from) is
+        # bit-identical through the same kernel, with NO rhs key resident
+        from tfhe_tpu.models.keys import with_ntt_lhs_key
+
+        server_lhs = with_ntt_lhs_key(server, drop_rhs=True)
+        assert server_lhs.bk_ntt is None
+        ours_lhs = np.asarray(
+            mboot.pbs(p, cts, server_lhs, tv_enc, impl="nttf_interpret")
+        )
+        assert np.array_equal(ours_lhs, want)
 
     def test_fused_wide_equals_narrow_nano(self):
         """The wide-dot fused kernel (lane-concatenated digit planes, single
