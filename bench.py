@@ -198,12 +198,16 @@ def main():
         "bk_mbytes": round(bk_mb, 1),
         "gate_ms": round(best * 1e3, 2),
         "per_rotation_step_us": round(best * 1e6 / params.lwe_dimension, 2),
-        # exact int8 MACs of the blind rotation (4 limbs x R rows x C cols)
+        # exact int8 MACs of the blind rotation (4 limbs x R rows x C cols);
+        # BMMP impls run n/2 steps of 3R rows = 1.5x the MACs and 3x the key
+        # bytes per (twice-as-long) step
         "int8_tops": round(
-            2 * batch * params.lwe_dimension
+            (1.5 if impl.startswith("bmmp") else 1.0)
+            * 2 * batch * params.lwe_dimension
             * (params.glwe_dimension + 1) ** 2 * params.pbs_decomposer.levels
             * 4 * params.degree ** 2 / best / 1e12, 1),
-        "bk_bytes_per_step": (params.glwe_dimension + 1) ** 2
+        "bk_bytes_per_step": (3 if impl.startswith("bmmp") else 1)
+        * (params.glwe_dimension + 1) ** 2
         * params.pbs_decomposer.levels * params.degree * 4,
     }
 
@@ -265,7 +269,9 @@ def main():
                 ts = float("inf")
                 for _ in range(max(iters, 8)):
                     t0 = time.perf_counter()
-                    jax.block_until_ready(fb(c0b, c1b, sk))
+                    # materialize: through the tunnel block_until_ready alone
+                    # can return before the work ran (probe-proven r4/r5)
+                    np.asarray(fb(c0b, c1b, sk)[0, :1])
                     ts = min(ts, time.perf_counter() - t0)
                 lat_sync[str(b)] = round(ts * 1e3, 2)
                 log(f"latency batch={b}: {t*1e3:.1f}ms amortized, "

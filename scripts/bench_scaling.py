@@ -98,7 +98,6 @@ def main():
 
     # --- batch DP weak scaling -------------------------------------------
     counts = [d for d in (1, 2, 4, 8) if d <= n_dev]
-    base_rate = None
     for d in counts:
         mesh = make_mesh(batch=d, model=1, devices=devices[:d])
         batch = args.batch_per_device * d

@@ -149,23 +149,30 @@ def with_ntt_lhs_key(sk: ServerKey, drop_rhs: bool = False) -> ServerKey:
         make_ep_ntt_key, ntt_key_lhs_form, plan_for_params,
     )
 
-    if sk.bk_ntt is not None and not drop_rhs:
-        lhs = jax.lax.map(ntt_key_lhs_form, sk.bk_ntt, batch_size=64)
-        return dataclasses.replace(sk, bk_ntt_lhs=lhs)
     plan = plan_for_params(sk.params)
     p = sk.params
     rows = (p.glwe_dimension + 1) * p.pbs_decomposer.levels
     per_step = (4 * plan.n1 * (rows * plan.n2)
                 * ((p.glwe_dimension + 1) * plan.key_limbs * plan.n2))
-    if per_step * p.lwe_dimension > 12 << 30:
+    form_bytes = per_step * p.lwe_dimension
+    forms = 1 if (drop_rhs or sk.bk_ntt is None) else 2
+    if forms * form_bytes > 12 << 30:
         raise ValueError(
-            f"lhs-form NTT key would be {per_step*p.lwe_dimension/2**30:.1f}"
-            " GiB (> 12 GiB HBM budget); use impl='ntts' or a larger-N1 plan")
-    lhs = jax.lax.map(
-        lambda bk_i: ntt_key_lhs_form(make_ep_ntt_key(bk_i, plan)),
-        sk.bk_u32, batch_size=64,
+            f"{forms} resident NTT key form(s) would be "
+            f"{forms*form_bytes/2**30:.1f} GiB (> 12 GiB HBM budget); use "
+            "drop_rhs=True, impl='ntts', or a larger-N1 plan")
+    if sk.bk_ntt is not None:
+        # a pure relayout of the existing rhs form (the caller's reference
+        # keeps it alive either way, so this is also the lower peak)
+        lhs = jax.lax.map(ntt_key_lhs_form, sk.bk_ntt, batch_size=64)
+    else:
+        lhs = jax.lax.map(
+            lambda bk_i: ntt_key_lhs_form(make_ep_ntt_key(bk_i, plan)),
+            sk.bk_u32, batch_size=64,
+        )
+    return dataclasses.replace(
+        sk, bk_ntt_lhs=lhs, bk_ntt=None if drop_rhs else sk.bk_ntt
     )
-    return dataclasses.replace(sk, bk_ntt_lhs=lhs, bk_ntt=None)
 
 
 def with_latency_key(sk: ServerKey) -> ServerKey:

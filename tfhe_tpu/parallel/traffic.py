@@ -33,7 +33,7 @@ from tfhe_tpu.params import TfheParams
 #   %psum.7 = u32[8,256]{1,0} all-reduce(%fusion), channel_id=1, ...
 _COLLECTIVE_RE = re.compile(
     r"=\s+\(?([a-z]+[0-9]+)\[([0-9,]*)\]\S*\s+"
-    r"(all-reduce|all-gather|collective-permute|all-to-all)\("
+    r"(all-reduce|all-gather|collective-permute|all-to-all|reduce-scatter)\("
 )
 # every syntactic occurrence of a collective op name, INCLUDING forms the
 # parser above does not model (async -start/-done pairs, tuple-result
@@ -42,7 +42,8 @@ _COLLECTIVE_RE = re.compile(
 # LOUDLY instead of silently returning [] (which would false-pass the
 # "DP has no collectives" assertion).
 _COLLECTIVE_TOKEN_RE = re.compile(
-    r"(all-reduce|all-gather|collective-permute|all-to-all)(-start|-done)?\("
+    r"(all-reduce|all-gather|collective-permute|all-to-all|reduce-scatter)"
+    r"(-start|-done)?\("
 )
 
 _DTYPE_BYTES = {
